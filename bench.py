@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners cover the engine's real workload (a multi-round crawl over a
+synthetic closed-world web sized to the SF) plus the heaviest relational /
+dedup / search / similarity queries from __spark_entry__.  Each query is
+fully materialized via count() (results are not collected to the driver).
+
+Scaling-efficiency evidence (north rule: ≥0.8 between N and 4N
+parallelism) is produced by tools/bench_scaling.py, which shells out to
+this module's crawl workload at two local[] sizes — see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def crawl_workload(spark, n_pages: int, budget: int = 4000, depth: int = 2):
+    """The engine's real job: multi-round crawl of a synthetic web.
+
+    Returns (pages_fetched, urls_scheduled)."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.plans.crawl import (
+        CrawlConfig,
+        run_crawl,
+    )
+    from distributed_web_crawling_and_indexing_system_gcp_spark.sources import webgen
+
+    n_hosts = 64
+    web = webgen.make_web_pages(spark, n_pages, n_hosts)
+    robots = webgen.make_robots_src(spark, n_hosts)
+    seeds = spark.createDataFrame(
+        [
+            (
+                "bench-job",
+                [webgen.url_of(i, n_hosts) for i in range(0, n_pages, max(n_pages // 64, 1))],
+                depth,
+                None,
+            )
+        ],
+        "task_id string, seed_urls array<string>, depth int, domain_restriction string",
+    )
+    cfg = CrawlConfig(
+        max_depth=depth,
+        politeness_budget=budget,
+        salt_buckets=8,
+        bloom_shards=32,
+        bloom_bits_per_shard=1 << 20,
+        max_rounds=depth + 3,
+    )
+    out = run_crawl(spark, seeds, web, robots, cfg)
+    fetched = out["frontier"].filter("status = 'fetched'").count()
+    scheduled = out["frontier"].count()
+    return fetched, scheduled
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from distributed_web_crawling_and_indexing_system_gcp_spark.session import (
+        build_session,
+    )
+    import __spark_entry__ as E
+
+    spark = build_session(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    qs = E.queries()
+    headliners = [
+        "pricing_summary",
+        "top_revenue",
+        "postings",
+        "search_topk",
+        "term_stats",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_embedding",
+        "ann_bruteforce",
+        "event_windows",
+        "politeness_window",
+        "url_canonicalize",
+    ]
+    timings: dict[str, float] = {}
+    for name in headliners:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # crawl: ~20k-page web per 0.1 SF unit
+    n_pages = max(int(200_000 * sf), 2_000) if sf > 0 else 20_000
+    t0 = time.perf_counter()
+    fetched, scheduled = crawl_workload(spark, n_pages)
+    crawl_s = round(time.perf_counter() - t0, 3)
+    timings["crawl_round"] = crawl_s
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time (incl. multi-round crawl)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl_pages_fetched": fetched,
+                "crawl_pages_per_sec": round(fetched / crawl_s, 1),
+                "crawl_urls_scheduled": scheduled,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Document deduplication family for the training-data pipeline surface.
+
+Five variants, all pure DataFrame (the hash primitives are Catalyst
+md5/xxhash64 expressions, so every variant below is reproducible by the
+DuckDB oracle and shuffles only on compact keys):
+
+- exact          — md5(normalized text) group-by
+- n-gram Jaccard — shingle explode → self-join on shingle → pairwise
+                   |A∩B| / (|A|+|B|-|A∩B|)
+- MinHash + LSH  — k seeded-md5 min-hashes → b bands of r → band-bucket
+                   join produces candidates without the quadratic join
+- SimHash        — 16-nibble majority signature over token hashes;
+                   equal signatures = near-dup bucket
+- embedding      — cosine ≥ τ pairs, blocked by a bucket column (label /
+                   LSH bucket) so the join is bucket-local, not quadratic
+
+Scale notes (100 TB): the only quadratic-risk stage is pair generation;
+every variant blocks it (shingle key, LSH band, bucket column).  The
+shingle/band explode multiplies rows ~O(tokens), but each row is a short
+hash string and the groupBy is map-side combinable.  Skewed shingles
+(stopword shingles shared by everything) should be frequency-capped with
+``max_shingle_df`` — the same trick as dropping stop-shingles in
+production MinHash pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, norm_text, shingles, ws_tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fingerprint, n_dups, keep_id, dup_ids) for groups with >1 doc."""
+    fp = df.select(
+        F.col(id_col).alias("doc"), fingerprint_md5(F.col(text_col)).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc").alias("keep_id"),
+            F.sort_array(F.collect_list("doc")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, shingle) distinct rows."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Pairs (doc_a < doc_b, jaccard) with shingle-Jaccard ≥ threshold.
+
+    Join is blocked on the shingle key: only docs sharing ≥1 shingle meet.
+    ``max_shingle_df`` drops ubiquitous shingles before pairing (skew cap).
+    """
+    sh = _shingle_rows(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(freq.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        common.join(sizes.withColumnsRenamed({"doc": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc, minh_0..minh_{n-1}) — lexicographic min of seeded md5 hex over
+    the doc's shingle set.  md5-hex min is a valid uniform MinHash and is
+    bit-identical in DuckDB (`min(md5('i|' || shingle))`)."""
+    sh = _shingle_rows(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"minh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 LSH band.
+
+    band_hash = md5 over the concatenated r=num_hashes/bands minhashes;
+    the pair join runs per (band_idx, band_hash) bucket — linear in
+    bucket sizes, never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"minh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = sig.select(
+        "doc", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    a = banded.withColumnRenamed("doc", "doc_a")
+    b = banded.withColumnRenamed("doc", "doc_b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash_signature(text_col, nibbles: int = 16):
+    """16-nibble-majority SimHash over the distinct whitespace tokens of
+    normalized text, as a '0'/'1' string column of length ``nibbles``.
+
+    Per position i: bit = 1 iff ≥ half of the token md5 hex digits at
+    position i are >= '8' (top half of the nibble range).  Pure Catalyst
+    (explode-free: higher-order array functions), DuckDB-reproducible.
+    """
+    toks = F.array_distinct(ws_tokens(norm_text(text_col)))
+
+    def vote_merge(pos: int):
+        def merge(acc, t):
+            hot = (
+                F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(t), pos, 1))
+                >= F.lit(9)
+            )
+            return acc + F.when(hot, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    bits = []
+    for i in range(1, nibbles + 1):
+        votes = F.aggregate(toks, F.lit(0), vote_merge(i))
+        bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(simhash, n_docs, doc_ids) buckets with >1 member = near-dup sets."""
+    sig = df.select(
+        F.col(id_col).alias("doc"), simhash_signature(F.col(text_col)).alias("simhash")
+    )
+    return (
+        sig.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def cosine_expr(a, b):
+    """cosine(a, b) for two array<float/double> columns — JVM-side
+    zip_with/aggregate, computed in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, cosine) with cosine ≥ threshold.
+
+    With ``bucket_col`` the join is blocked per bucket (IVF-cell or LSH
+    bucket) — the scale path.  Without it, all-pairs: only for small dims
+    or already-blocked inputs.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("bucket"))
+    base = df.select(*cols)
+    a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
+    b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
+    on = [F.col("id_a") < F.col("id_b")]
+    if bucket_col:
+        on.append(F.col("bucket_a") == F.col("bucket_b"))
+    pairs = a.join(b, on[0] if len(on) == 1 else (on[0] & on[1]))
+    scored = pairs.withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
+    return scored.filter(F.col("cosine") >= threshold).select(
+        F.col("id_a"), F.col("id_b"), "cosine"
+    )
+
+
+__all__ = [
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_signature",
+    "simhash_buckets",
+    "cosine_expr",
+    "embedding_near_dup_pairs",
+]

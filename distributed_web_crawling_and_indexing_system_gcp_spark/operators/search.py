@@ -1,0 +1,89 @@
+"""Inverted index + full-text search as DataFrame queries.
+
+Replaces the reference's Elasticsearch surface:
+- index build = the indexer's ES upsert (/root/reference/src/indexer/
+  indexer_node.py:145-156) → a ``postings`` table built by
+  explode/groupBy (term, doc, tf).
+- search = the UI's multi_match size-10 query (/root/reference/src/UI/
+  main.py:549-564) → term join + TF-IDF-lite score + deterministic
+  top-k (score desc, doc asc).
+- URL "search" = the UI's ``/search/urls`` (main.py:521-536; the
+  reference returns hardcoded mock data — documented there) →
+  ``url contains q``.
+- export = ES match_all + sort + from/size (main.py:641-693) →
+  orderBy/offset/limit.
+
+Scale: postings build is one explode + one map-side-combinable groupBy
+keyed by (term, doc).  Query-time joins touch only the query's terms —
+with the postings table partitioned/bucketed by term this is a pruned
+scan, not a full pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import norm_text, ws_tokens
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc, tf) — one row per distinct (term, doc)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(ws_tokens(norm_text(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def search_topk(
+    postings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(doc, score, rank): score = Σ_t tf·idf over matched query terms,
+    idf = ln(1 + N/df) when ``n_docs`` given else 1 (pure-TF mode —
+    matches the reference's default-BM25-ish 'more hits = higher' at the
+    fidelity its tests observe).  Deterministic tie-break: doc asc.
+    """
+    terms = postings.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    )
+    hits = postings.join(F.broadcast(terms), "term")
+    if n_docs is not None:
+        df_ = hits.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+        hits = hits.join(F.broadcast(df_), "term").withColumn(
+            "w", F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df"))
+        )
+    else:
+        hits = hits.withColumn("w", F.col("tf").cast("double"))
+    scored = hits.groupBy("doc").agg(F.sum("w").alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def url_search(seen: DataFrame, q: str, limit: int = 20) -> DataFrame:
+    """Substring URL search (the honest implementation of the reference's
+    mocked /search/urls endpoint)."""
+    return (
+        seen.filter(F.col("url").contains(q))
+        .orderBy("url")
+        .limit(limit)
+        .select("url")
+    )
+
+
+def export_page(df: DataFrame, sort_col: str, offset: int, size: int) -> DataFrame:
+    """ES match_all export pagination: sort asc, from/size
+    (UI/main.py:658-667)."""
+    return df.orderBy(F.col(sort_col).asc()).offset(offset).limit(size)
+
+
+__all__ = ["build_postings", "search_topk", "url_search", "export_page"]

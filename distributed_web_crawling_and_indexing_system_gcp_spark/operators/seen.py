@@ -1,0 +1,187 @@
+"""URL-seen set: partitioned Bloom-filter shards + exact anti-join confirm.
+
+The reference keeps a per-crawler in-memory ``set()`` that is neither
+shared between crawlers nor persisted (/root/reference/src/crawler/
+crawler_node.py:32,253-258,361-365) — restarts forget history and two
+crawlers can fetch the same URL.  This operator replaces it with a
+*global* seen set designed for a 10^10-URL frontier:
+
+1. ``seen`` table: ``(url_hash: bigint, url: string)`` — exact membership,
+   partitioned by ``pmod(url_hash, num_shards)``.
+2. Bloom shards: per-shard bit arrays built executor-side with
+   ``mapInArrow`` (numpy bit-ops inside the Arrow batch — no per-row
+   Python).  At 10^10 keys / 1% fpp this is ~12 GB of bits total, far too
+   big for one filter but fine as 1024 × ~12 MB shards that stay
+   partition-aligned with the candidate stream.
+3. Membership flow: candidates → Bloom "definitely new" fast path (no
+   join needed) vs "maybe seen" → exact ``left_anti`` join against the
+   ``seen`` table to kill false positives.  At steady state the exact join
+   touches ~1% of candidates + true dups instead of the full stream.
+
+In local mode the shard map is broadcast (sc.broadcast of shard_id →
+bytes); the same code path holds on a cluster while total bits ≤ a few GB,
+beyond which shards stay as a table and membership becomes a
+partition-aligned join (same public API — ``filter_new``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+# Derived double-hashing: h_i(x) = h1 + i*h2 (mod m), h1/h2 from the
+# 64-bit xxhash64 key — standard Kirsch–Mitzenmacher construction.
+_NUM_PROBES = 7
+
+
+def _probe_positions(hashes: np.ndarray, m_bits: int) -> Iterator[np.ndarray]:
+    h = hashes.astype(np.uint64)
+    h1 = (h >> np.uint64(32)) & np.uint64(0xFFFFFFFF)
+    h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+    for i in range(_NUM_PROBES):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+def build_bloom_shards(
+    seen: DataFrame, num_shards: int, bits_per_shard: int
+) -> DataFrame:
+    """``seen(url_hash, ...)`` → ``(shard_id: int, bits: binary, n_keys: long)``.
+
+    One pass: repartition by shard, mapInArrow builds each shard's bit
+    array with vectorized numpy ops.  Rebuild-per-round is a union of the
+    previous shard bits with the round's new keys (bitwise OR) — done by
+    unioning key streams before this call, or OR-ing blobs driver-side
+    (shards are small).
+    """
+    m = bits_per_shard
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # hash repartitioning can co-locate several shard_ids in one
+        # partition — keep a bit array per shard_id present here
+        acc: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for batch in batches:
+            sids = batch.column("shard_id").to_numpy(zero_copy_only=False)
+            h = batch.column("url_hash").to_numpy(zero_copy_only=False)
+            for sid in np.unique(sids):
+                mask = sids == sid
+                sid = int(sid)
+                bits = acc.setdefault(sid, np.zeros(m // 8 + 1, dtype=np.uint8))
+                counts[sid] = counts.get(sid, 0) + int(mask.sum())
+                for pos in _probe_positions(h[mask], m):
+                    np.bitwise_or.at(
+                        bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                    )
+        for sid, bits in acc.items():
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "shard_id": pa.array([sid], pa.int32()),
+                    "bits": pa.array([bits.tobytes()], pa.binary()),
+                    "n_keys": pa.array([counts[sid]], pa.int64()),
+                }
+            )
+
+    keyed = seen.select(
+        F.pmod(F.col("url_hash"), F.lit(num_shards)).cast("int").alias("shard_id"),
+        "url_hash",
+    ).repartition(num_shards, "shard_id")
+    return keyed.mapInArrow(build, "shard_id int, bits binary, n_keys long")
+
+
+def bloom_maybe_seen(
+    spark: SparkSession,
+    candidates: DataFrame,
+    shards: dict[int, bytes],
+    num_shards: int,
+    bits_per_shard: int,
+) -> DataFrame:
+    """Adds ``maybe_seen: boolean`` — False means *definitely new*.
+
+    ``shards`` (shard_id → bit blob) is broadcast once per round; the
+    membership test is a vectorized pandas UDF over the Arrow batch.
+    """
+    bc = spark.sparkContext.broadcast(shards)
+    m = bits_per_shard
+
+    @pandas_udf(BooleanType())
+    def contains(url_hash: pd.Series) -> pd.Series:
+        h = url_hash.to_numpy(dtype=np.int64)
+        shard_ids = np.mod(h, num_shards)
+        out = np.ones(len(h), dtype=bool)
+        local = bc.value
+        for sid in np.unique(shard_ids):
+            blob = local.get(int(sid))
+            mask = shard_ids == sid
+            if blob is None:
+                out[mask] = False
+                continue
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            hit = np.ones(mask.sum(), dtype=bool)
+            for pos in _probe_positions(h[mask], m):
+                hit &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+            out[mask] = hit
+        return pd.Series(out)
+
+    return candidates.withColumn("maybe_seen", contains(F.col("url_hash")))
+
+
+def filter_new(
+    candidates: DataFrame,
+    seen: DataFrame,
+    shards: dict[int, bytes] | None = None,
+    num_shards: int = 64,
+    bits_per_shard: int = 1 << 20,
+) -> DataFrame:
+    """Global dedup (reference F2/F3, fixed to be cross-worker):
+    rows of ``candidates`` whose ``url_hash`` is NOT in ``seen``.
+
+    With Bloom shards: definitely-new rows bypass the join entirely;
+    only maybe-seen rows pay the exact ``left_anti``.  Without shards:
+    plain ``left_anti`` (AQE picks broadcast vs shuffle side).
+    """
+    if shards is None:
+        return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+    spark = candidates.sparkSession
+    flagged = bloom_maybe_seen(spark, candidates, shards, num_shards, bits_per_shard)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
+def shards_to_dict(shards_df: DataFrame) -> dict[int, bytes]:
+    """Collect shard blobs driver-side for broadcast (small: MBs/shard)."""
+    return {r["shard_id"]: bytes(r["bits"]) for r in shards_df.collect()}
+
+
+def or_shards(a: dict[int, bytes], b: dict[int, bytes]) -> dict[int, bytes]:
+    """Bitwise-OR union of two shard maps (incremental round update)."""
+    out = dict(a)
+    for sid, blob in b.items():
+        if sid in out:
+            x = np.frombuffer(out[sid], dtype=np.uint8)
+            y = np.frombuffer(blob, dtype=np.uint8)
+            n = max(len(x), len(y))
+            merged = np.zeros(n, dtype=np.uint8)
+            merged[: len(x)] |= x
+            merged[: len(y)] |= y
+            out[sid] = merged.tobytes()
+        else:
+            out[sid] = blob
+    return out
+
+
+__all__ = [
+    "build_bloom_shards",
+    "bloom_maybe_seen",
+    "filter_new",
+    "shards_to_dict",
+    "or_shards",
+]

@@ -1,0 +1,479 @@
+"""Crawl-round logical plan + driver round loop.
+
+One crawl **round** is one deterministic Spark job over the frontier
+(SURVEY.md §3.1 "engine equivalent").  The reference's master⇄crawler
+Pub/Sub loop (/root/reference/src/master/master_node.py:155-282 and
+/root/reference/src/crawler/crawler_node.py:224-388) becomes:
+
+    pending frontier
+      → per-host politeness window (budget; overflow deferred)
+      → global seen-set dedup (canonical url_hash)
+      → robots gate (broadcast rules join + vectorized RobotFileParser)
+      → fetch (synthetic closed-world join; network stage stubbed)
+      → parse_html → interleaved spans → documents rows
+      → posexplode links → clean → urljoin → validity → canonicalize
+        → domain restriction (case-sensitive SUBSTRING, crawler_node.py:363)
+        → depth gate → dedup vs seen → new pending frontier rows
+      → metrics (per-partition lineage) → atomic snapshot commit
+
+Determinism contract (what the pytest oracle mirrors exactly):
+- frontier order = (depth asc, url asc) within each host's budget window;
+- seen adds happen (a) when a row is selected for fetch — BEFORE the
+  robots gate, matching crawler_node.py:253-268 where a robots-blocked
+  URL still enters the seen set — and (b) when a link is extracted
+  (crawler_node.py:361-365);
+- children are enqueued in canonical form (crawler_node.py:366) with
+  depth+1, inheriting task_id / depth_limit / domain_restriction
+  (master_node.py:236-248, is_continuation path);
+- timeout ⇒ retryable while attempts < max_attempts (reference nacks for
+  redelivery, crawler_node.py:278-281); other errors ⇒ terminal failure;
+- extraction-batch duplicates resolve to min (depth, parent_url, link_pos).
+
+Scale shape: every stage is a narrow map or a key-partitioned shuffle on
+(host[, salt]) or url_hash; the only driver materialization is the
+pending-row count per round and the (MB-sized) Bloom shard map.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import urls as U
+from ..functions.html import parse_html_udf
+from ..operators import politeness, robots, seen as seen_ops
+from ..sources.fetch import classify_fetch, fetch_synthetic
+from ..sources.snapshots import SnapshotStore
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("depth_limit", T.IntegerType()),
+        T.StructField("task_id", T.StringType()),
+        T.StructField("domain_restriction", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("attempts", T.IntegerType()),
+        T.StructField("round_added", T.IntegerType()),
+        T.StructField("round_processed", T.IntegerType()),
+    ]
+)
+
+SEEN_SCHEMA = "url_hash long, url string"
+
+DOCUMENTS_SCHEMA = (
+    "doc_id string, canonical_url string, task_id string, depth int, round int, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "text string, html string"
+)
+
+METRICS_SCHEMA = (
+    "node_type string, event string, task_id string, url string, count long, "
+    "partition_id int, round int"
+)
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 3                  # reference MAX_DEPTH default
+    politeness_budget: int = 8          # per host per round (north rule)
+    salt_buckets: int = 4               # host-salt skew factor
+    max_attempts: int = 3               # timeout retries (T2)
+    bloom_shards: int = 16
+    bloom_bits_per_shard: int = 1 << 18
+    use_bloom: bool = True
+    max_rounds: int = 64
+    extra: dict = field(default_factory=dict)
+
+
+def seeds_to_frontier(spark: SparkSession, seed_jobs: DataFrame) -> DataFrame:
+    """Expand seed jobs into round-0 pending frontier rows.
+
+    Mirrors the master's seed path (master_node.py:254-275): depth=0,
+    depth_limit=job depth, task_id=job task_id.  The UI's duplicate-seed-
+    set job dedup (UI/main.py:185-199) is applied upstream by
+    ``dedupe_seed_jobs``.  Invalid (non-http) seeds are dropped like the
+    crawler's validity guard (crawler_node.py:248-251).
+    """
+    rows = seed_jobs.select(
+        F.explode("seed_urls").alias("raw_url"),
+        F.col("task_id"),
+        F.col("depth").alias("depth_limit"),
+        F.col("domain_restriction"),
+    )
+    cleaned = rows.withColumn("url", U.clean_col(F.col("raw_url"))).filter(
+        U.is_valid_http(F.col("url"))
+    )
+    out = (
+        cleaned.withColumn("canonical_url", U.canonicalize_udf(F.col("url")))
+        .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
+        .withColumn("host", F.lower(U.host_udf(F.col("url"))))
+        .withColumn("depth", F.lit(0))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("attempts", F.lit(0))
+        .withColumn("round_added", F.lit(0))
+        .withColumn("round_processed", F.lit(None).cast("int"))
+    )
+    return out.select([f.name for f in FRONTIER_SCHEMA.fields])
+
+
+def dedupe_seed_jobs(seed_jobs: DataFrame) -> DataFrame:
+    """UI-level duplicate-job collapse: jobs with the same sorted seed-URL
+    set reuse the earliest task (UI/main.py:185-199, J5)."""
+    sig = seed_jobs.withColumn(
+        "_sig", F.array_join(F.sort_array(F.col("seed_urls")), ",")
+    )
+    first = sig.groupBy("_sig").agg(F.min("task_id").alias("task_id"))
+    return (
+        sig.join(first, ["_sig", "task_id"])  # keep only the first job per sig
+        .drop("_sig")
+    )
+
+
+def _empty(spark: SparkSession, schema) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def _extract_links(ok_html: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """ok_html: fetched rows + parsed column; returns candidate child rows
+    (pre seen-dedup).  Columns: canonical child url/host/hash + lineage +
+    dedup-ordering keys (_depth,_parent,_pos)."""
+    eff_limit = F.coalesce(F.col("depth_limit"), F.lit(cfg.max_depth))
+    expandable = ok_html.filter(F.col("depth") < eff_limit)
+
+    links = expandable.select(
+        F.col("canonical_url").alias("parent_canonical"),
+        F.col("task_id"),
+        F.col("depth"),
+        F.col("depth_limit"),
+        F.col("domain_restriction"),
+        F.coalesce(F.col("final_url"), F.col("url")).alias("base_url"),
+        F.posexplode(F.col("parsed.links")).alias("link_pos", "href"),
+    )
+    resolved = links.withColumn(
+        "new_url", U.resolve_link_udf(F.col("base_url"), F.col("href"))
+    )
+    parsed = (
+        resolved.withColumn("scheme", U.scheme_udf(F.col("new_url")))
+        .withColumn("netloc", U.host_udf(F.col("new_url")))
+        .filter(U.is_schemed_http(F.col("scheme"), F.col("netloc")))
+    )
+    # substring (NOT suffix) domain restriction, case-sensitive on the
+    # non-normalized netloc (crawler_node.py:363)
+    restricted = parsed.filter(
+        F.col("domain_restriction").isNull()
+        | F.col("netloc").contains(F.col("domain_restriction"))
+    )
+    return (
+        restricted.withColumn(
+            "canonical_url", U.canonicalize_udf(U.clean_col(F.col("new_url")))
+        )
+        .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
+        .withColumn("child_depth", F.col("depth") + F.lit(1))
+    )
+
+
+def run_round(
+    spark: SparkSession,
+    round_no: int,
+    frontier: DataFrame,
+    seen: DataFrame,
+    robots_rules: DataFrame,
+    web_pages: DataFrame,
+    robots_src: DataFrame,
+    cfg: CrawlConfig,
+    bloom: dict[int, bytes] | None = None,
+) -> dict[str, DataFrame]:
+    """Execute one crawl round; returns the post-round tables (lazy DFs).
+
+    ``robots_src(host, rules_txt)`` is the closed-world robots fixture —
+    hosts absent from it are "fetch failed ⇒ permissive" (null rules).
+    """
+    retryable = (F.col("status") == "pending") | (
+        (F.col("status") == "timeout") & (F.col("attempts") < cfg.max_attempts)
+    )
+    pending = frontier.filter(retryable)
+    settled = frontier.filter(~retryable)
+
+    # -- politeness window: ≤ budget rows per host this round ---------------
+    windowed = politeness.select_polite_batch(
+        pending,
+        budget=cfg.politeness_budget,
+        salt_buckets=cfg.salt_buckets,
+        order_cols=("depth", "url", "task_id"),
+    )
+    deferred = windowed.filter(~F.col("selected")).drop("selected")
+    batch = windowed.filter(F.col("selected")).drop("selected")
+
+    # -- selection-time dedup ------------------------------------------------
+    # The reference's pre-fetch seen check (crawler_node.py:253-258) guards
+    # against the SAME task being delivered/processed twice.  In the global
+    # engine, enqueue-time dedup (extraction below) already keeps the
+    # pending frontier unique among never-processed URLs, so the selection
+    # check compares against *processed* canonicals only (duplicate seeds
+    # across jobs, re-deliveries) — NOT against the full enqueued-seen set,
+    # which would wrongly skip every child the frontier itself scheduled.
+    # Timeout retries bypass the check (T2 re-delivery of an owned task).
+    first_timers = batch.filter(F.col("status") == "pending")
+    retries = batch.filter(F.col("status") != "pending")
+    processed = (
+        frontier.filter(F.col("round_processed").isNotNull())
+        .select("url_hash")
+        .distinct()
+    )
+    new_batch = first_timers.join(processed, "url_hash", "left_anti")
+    skipped_seen = first_timers.join(
+        new_batch.select("url_hash"), "url_hash", "left_anti"
+    )
+    # same-batch canonical duplicates: keep (depth, url, task_id) min
+    new_batch = new_batch.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("url_hash").orderBy("depth", "url", "task_id")
+        ),
+    )
+    batch_dups = new_batch.filter(F.col("_rn") > 1).drop("_rn")
+    new_batch = new_batch.filter(F.col("_rn") == 1).drop("_rn")
+    skipped_seen = skipped_seen.unionByName(batch_dups)
+
+    # seen grows by every selected-for-processing canonical — BEFORE the
+    # robots gate (crawler_node.py:256-258 precedes :264)
+    seen_after_batch = seen.unionByName(
+        new_batch.select("url_hash", F.col("canonical_url").alias("url"))
+    ).dropDuplicates(["url_hash"])
+
+    # -- robots: fetch-once-per-new-host, then broadcast-join gate ----------
+    to_fetch = new_batch.unionByName(retries)
+    need = robots.missing_hosts(to_fetch, robots_rules)
+    fetched_rules = need.join(robots_src, "host", "left").select(
+        "host", "rules_txt"
+    )  # host missing from robots_src ⇒ null rules ⇒ permissive
+    robots_after = robots_rules.unionByName(fetched_rules).dropDuplicates(["host"])
+
+    gated = robots.gate_on_robots(to_fetch, robots_after)
+    blocked = gated.filter(~F.col("robots_allowed")).drop("robots_allowed")
+    allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
+
+    # -- fetch (closed world) + outcome routing -----------------------------
+    fetched = classify_fetch(fetch_synthetic(allowed, web_pages))
+    ok_html = fetched.filter(F.col("fetch_outcome") == "ok_html").withColumn(
+        "parsed", parse_html_udf(F.col("html"))
+    )
+    ok_other = fetched.filter(F.col("fetch_outcome") == "ok_other")
+    timeouts = fetched.filter(F.col("fetch_outcome") == "timeout")
+    errors = fetched.filter(F.col("fetch_outcome") == "error")
+
+    # -- documents: one row per fetched HTML page ---------------------------
+    documents = ok_html.select(
+        F.coalesce(F.col("final_url"), F.col("url")).alias("doc_id"),
+        F.col("canonical_url"),
+        F.col("task_id"),
+        F.col("depth"),
+        F.lit(round_no).alias("round"),
+        F.col("parsed.spans").alias("spans"),
+        F.col("parsed.text").alias("text"),
+        F.col("html"),
+    )
+
+    # -- link extraction → new frontier rows --------------------------------
+    # enqueue-time global dedup: Bloom "definitely new" fast path + exact
+    # anti-join confirm against the full enqueued-seen set (F2/F3 at scale)
+    candidates = _extract_links(ok_html, cfg)
+    if cfg.use_bloom and bloom is not None:
+        # the shard map was built from round-start `seen`, so run the Bloom
+        # fast path against that set, then an exact anti-join against this
+        # round's (small) batch additions which the shards don't cover yet
+        fresh = seen_ops.filter_new(
+            candidates, seen, bloom, cfg.bloom_shards, cfg.bloom_bits_per_shard
+        ).join(new_batch.select("url_hash"), "url_hash", "left_anti")
+    else:
+        fresh = seen_ops.filter_new(candidates, seen_after_batch)
+    dedup_w = Window.partitionBy("url_hash").orderBy(
+        "child_depth", "parent_canonical", "link_pos"
+    )
+    fresh = (
+        fresh.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    new_frontier = fresh.select(
+        F.col("canonical_url").alias("url"),  # children enqueue normalized
+        F.col("canonical_url"),
+        F.col("url_hash"),
+        U.host_col(F.col("canonical_url")).alias("host"),
+        F.col("child_depth").alias("depth"),
+        F.col("depth_limit"),
+        F.col("task_id"),
+        F.col("domain_restriction"),
+        F.lit("pending").alias("status"),
+        F.lit(0).alias("attempts"),
+        F.lit(round_no + 1).alias("round_added"),
+        F.lit(None).cast("int").alias("round_processed"),
+    )
+
+    seen_final = seen_after_batch.unionByName(
+        new_frontier.select("url_hash", F.col("canonical_url").alias("url"))
+    ).dropDuplicates(["url_hash"])
+
+    # -- frontier state update ----------------------------------------------
+    def finish(df: DataFrame, status: str, bump_attempts: bool = False) -> DataFrame:
+        out = df.select(*[f.name for f in FRONTIER_SCHEMA.fields if f.name not in ("status", "attempts", "round_processed")],
+                        "attempts")
+        out = out.withColumn("status", F.lit(status)).withColumn(
+            "round_processed", F.lit(round_no)
+        )
+        if bump_attempts:
+            out = out.withColumn("attempts", F.col("attempts") + 1)
+        return out.select([f.name for f in FRONTIER_SCHEMA.fields])
+
+    frontier_after = (
+        settled.select([f.name for f in FRONTIER_SCHEMA.fields])
+        .unionByName(deferred.select([f.name for f in FRONTIER_SCHEMA.fields]))
+        .unionByName(finish(skipped_seen, "skipped_seen"))
+        .unionByName(finish(blocked, "skipped_robots"))
+        .unionByName(finish(ok_html, "fetched"))
+        .unionByName(finish(ok_other, "skipped_non_html"))
+        .unionByName(finish(timeouts, "timeout", bump_attempts=True))
+        .unionByName(finish(errors, "failed"))
+        .unionByName(new_frontier)
+    )
+
+    # -- metrics: per-partition lineage counts -------------------------------
+    def metric(df: DataFrame, node: str, event: str) -> DataFrame:
+        return (
+            df.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("task_id", "partition_id")
+            .agg(F.count("*").alias("count"), F.min("url").alias("url"))
+            .select(
+                F.lit(node).alias("node_type"),
+                F.lit(event).alias("event"),
+                "task_id",
+                "url",
+                "count",
+                "partition_id",
+                F.lit(round_no).alias("round"),
+            )
+        )
+
+    metrics = (
+        metric(new_batch, "master", "urls_scheduled")
+        .unionByName(metric(ok_html, "crawler", "url_crawled"))
+        .unionByName(metric(blocked, "crawler", "url_skipped"))
+        .unionByName(metric(new_frontier, "crawler", "new_urls_found"))
+        .unionByName(metric(documents.withColumnRenamed("doc_id", "url"), "indexer", "url_indexed"))
+    )
+
+    return {
+        "frontier": frontier_after,
+        "seen": seen_final,
+        "robots": robots_after,
+        "documents": documents,
+        "metrics": metrics,
+    }
+
+
+def run_crawl(
+    spark: SparkSession,
+    seed_jobs: DataFrame,
+    web_pages: DataFrame,
+    robots_src: DataFrame,
+    cfg: CrawlConfig,
+    store: SnapshotStore | None = None,
+    resume: bool = False,
+) -> dict[str, DataFrame]:
+    """Driver round loop with snapshot commit + resume.
+
+    Gives the termination detection the reference lacks (SURVEY.md §3.1):
+    stop when no retryable rows remain or max_rounds hit.  With ``store``
+    each round commits atomically; ``resume=True`` continues from the last
+    committed round (bit-identical to an uninterrupted run — verified by
+    tests/test_resume.py).
+    """
+    if resume:
+        assert store is not None and store.current_round() >= 0
+        start_round = store.current_round() + 1
+        frontier = store.read("frontier")
+        seen = store.read("seen")
+        robots_rules = store.read("robots")
+    else:
+        start_round = 0
+        jobs = dedupe_seed_jobs(seed_jobs)
+        frontier = seeds_to_frontier(spark, jobs)
+        seen = _empty(spark, SEEN_SCHEMA)
+        robots_rules = _empty(spark, "host string, rules_txt string")
+
+    documents = _empty(spark, DOCUMENTS_SCHEMA)
+    metrics = _empty(spark, METRICS_SCHEMA)
+    bloom: dict[int, bytes] | None = None
+    retryable = (F.col("status") == "pending") | (
+        (F.col("status") == "timeout") & (F.col("attempts") < cfg.max_attempts)
+    )
+
+    for round_no in range(start_round, cfg.max_rounds):
+        if frontier.filter(retryable).limit(1).count() == 0:
+            break
+        if cfg.use_bloom:
+            shards_df = seen_ops.build_bloom_shards(
+                seen, cfg.bloom_shards, cfg.bloom_bits_per_shard
+            )
+            bloom = seen_ops.shards_to_dict(shards_df)
+        out = run_round(
+            spark, round_no, frontier, seen, robots_rules,
+            web_pages, robots_src, cfg, bloom,
+        )
+        if store is not None:
+            store.commit_round(
+                round_no,
+                {
+                    "frontier": (out["frontier"], "state"),
+                    "seen": (out["seen"], "state"),
+                    "robots": (out["robots"], "state"),
+                    "documents": (out["documents"], "append"),
+                    "metrics": (out["metrics"], "append"),
+                },
+                extras={"config": {"budget": cfg.politeness_budget,
+                                   "max_depth": cfg.max_depth,
+                                   "salt_buckets": cfg.salt_buckets}},
+            )
+            frontier = store.read("frontier")
+            seen = store.read("seen")
+            robots_rules = store.read("robots")
+        else:
+            # no store: materialize via localCheckpoint to cut lineage growth
+            frontier = out["frontier"].localCheckpoint()
+            seen = out["seen"].localCheckpoint()
+            robots_rules = out["robots"].localCheckpoint()
+            documents = documents.unionByName(out["documents"].localCheckpoint())
+            metrics = metrics.unionByName(out["metrics"].localCheckpoint())
+
+    if store is not None:
+        return {
+            "frontier": store.read("frontier"),
+            "seen": store.read("seen"),
+            "documents": store.read("documents"),
+            "metrics": store.read("metrics"),
+            "robots": store.read("robots"),
+        }
+    return {
+        "frontier": frontier,
+        "seen": seen,
+        "documents": documents,
+        "metrics": metrics,
+        "robots": robots_rules,
+    }
+
+
+__all__ = [
+    "CrawlConfig",
+    "FRONTIER_SCHEMA",
+    "seeds_to_frontier",
+    "dedupe_seed_jobs",
+    "run_round",
+    "run_crawl",
+]

@@ -1,0 +1,115 @@
+"""Fetch stage: synthetic closed-world fetcher (tests/bench) + the real
+network fetcher's shape (stubbed — no network in this sandbox).
+
+Reference fetch (/root/reference/src/crawler/crawler_node.py:270-285):
+``requests.get(url, timeout=10, headers={'User-Agent': UA},
+allow_redirects=True)`` + ``raise_for_status``; outcomes:
+- HTML 2xx            → process
+- non-HTML 2xx        → skip (ack)                       (crawler_node.py:378-381)
+- timeout             → nack = redeliver                 (crawler_node.py:278-281)
+- other request error → ack = drop                       (crawler_node.py:282-285)
+
+Synthetic form: the web is a ``web_pages(url, final_url, status,
+content_type, html, fetch_ms)`` fixture table; "fetching" a batch is a
+LEFT JOIN on the exact request URL — fully deterministic, no Python in
+the path.  Unknown URL ⇒ connection error (status -2).  Status codes:
+-1 = timeout, -2 = unreachable, ≥400 = HTTP error (raise_for_status),
+else OK.
+
+The production fetcher (`fetch_over_network`) keeps the exact stage
+signature — grouped ``applyInPandas`` per (host, salt) partition so one
+host's requests serialize within a task (true per-host politeness) while
+hosts parallelize across tasks — but raises ``NotImplementedError``: no
+outbound network here, and wiring ``requests`` in is deployment-specific.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FETCH_RESULT_COLS = ("final_url", "http_status", "content_type", "html", "fetch_ms")
+
+
+def fetch_synthetic(batch: DataFrame, web_pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Resolve a fetch batch against the closed-world fixture.
+
+    Adds ``final_url, http_status, content_type, html, fetch_ms``.
+    URL not in the fixture ⇒ http_status = -2 (unreachable).
+    """
+    pages = web_pages.select(
+        F.col("url").alias(url_col),
+        F.col("final_url").alias("final_url"),
+        F.col("status").alias("http_status"),
+        "content_type",
+        "html",
+        "fetch_ms",
+    )
+    joined = batch.join(pages, url_col, "left")
+    return joined.withColumn(
+        "http_status", F.coalesce(F.col("http_status"), F.lit(-2))
+    )
+
+
+def classify_fetch(df: DataFrame) -> DataFrame:
+    """Adds ``fetch_outcome``: ok_html | ok_other | timeout | error.
+
+    Mirrors the reference's routing: timeout ⇒ retryable; HTTP/connection
+    error ⇒ dropped; 2xx non-HTML ⇒ acknowledged but not processed.
+    """
+    s = F.col("http_status")
+    ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+    return df.withColumn(
+        "fetch_outcome",
+        F.when(s == -1, F.lit("timeout"))
+        .when((s < 0) | (s >= 400), F.lit("error"))
+        .when(ct.contains("html"), F.lit("ok_html"))
+        .otherwise(F.lit("ok_other")),
+    )
+
+
+def fetch_over_network(
+    batch: DataFrame,
+    timeout_s: int = 10,
+    host_col: str = "host",
+    salt_col: str = "host_salt",
+    url_col: str = "url",
+) -> DataFrame:
+    """Production fetch stage shape: grouped applyInPandas per
+    (host, salt) so requests to one host serialize inside a task.
+
+    STUB: raises NotImplementedError executor-side (no network access in
+    this environment).  The signature, grouping, and output schema are the
+    real ones — swap the body for a ``requests.Session`` loop on deploy.
+    """
+    out_schema = (
+        batch.schema.simpleString()[7:-1]
+        + ", final_url string, http_status int, content_type string, "
+        + "html string, fetch_ms int"
+    )
+
+    def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        raise NotImplementedError(
+            "network fetch is not available in this sandbox; use "
+            "fetch_synthetic(batch, web_pages) with a fixture table"
+        )
+
+    return batch.groupBy(host_col, salt_col).applyInPandas(fetch_group, out_schema)
+
+
+def iter_fetch_batches(pdf: pd.DataFrame, max_batch: int) -> Iterator[pd.DataFrame]:
+    """Helper the production fetcher would use to bound in-flight rows."""
+    for start in range(0, len(pdf), max_batch):
+        yield pdf.iloc[start : start + max_batch]
+
+
+__all__ = [
+    "FETCH_RESULT_COLS",
+    "fetch_synthetic",
+    "classify_fetch",
+    "fetch_over_network",
+    "iter_fetch_batches",
+]

@@ -1,0 +1,67 @@
+"""Structured-Streaming view over the crawl metrics stream.
+
+The reference dashboard is five daemon threads folding Pub/Sub events
+into in-process dicts (/root/reference/src/UI/main.py:130-442) — racy,
+lost on restart.  Engine equivalent: metrics rows land in the snapshot
+store (plans/crawl.py); a Structured Streaming job tails the directory
+and maintains the same aggregates incrementally:
+
+- per-task counters (url_crawled / url_indexed / urls_scheduled —
+  UI/main.py:241-316, A1)
+- health last-seen + stale detection (UI/main.py:351-364, A9/T5) via
+  watermarked sliding windows for late events (T6).
+
+These are *optional* for crawl parity (the batch queries in
+__spark_entry__ cover the same aggregates); this module exists to show
+the streaming path and is exercised by tests/test_streaming.py using the
+file source + a memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_STREAM_SCHEMA = (
+    "node_type string, event string, task_id string, url string, count long, "
+    "partition_id int, round int, ts timestamp"
+)
+
+
+def read_metrics_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(METRICS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(path)
+    )
+
+
+def task_progress(stream: DataFrame) -> DataFrame:
+    """Streaming per-task counters (complete-mode aggregate)."""
+    return stream.groupBy("task_id").agg(
+        F.sum(F.when(F.col("event") == "url_crawled", F.col("count"))).alias(
+            "crawled_urls"
+        ),
+        F.sum(F.when(F.col("event") == "url_indexed", F.col("count"))).alias(
+            "indexed_urls"
+        ),
+        F.sum(F.when(F.col("event") == "urls_scheduled", F.col("count"))).alias(
+            "scheduled_urls"
+        ),
+        F.max("round").alias("last_round"),
+    )
+
+
+def health_windows(stream: DataFrame, window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
+    """Watermarked per-node-type heartbeat counts (late data tolerated up
+    to the watermark, then finalized — the streaming analogue of the
+    UI's 120 s staleness check)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "node_type")
+        .agg(F.count("*").alias("events"), F.max("ts").alias("last_seen"))
+        .select("w.start", "w.end", "node_type", "events", "last_seen")
+    )
+
+
+__all__ = ["METRICS_STREAM_SCHEMA", "read_metrics_stream", "task_progress", "health_windows"]

@@ -1,0 +1,120 @@
+"""Dedup family: exact groups, n-gram Jaccard vs a pure-Python oracle,
+MinHash-LSH candidate recall on planted near-dups, SimHash bucketing,
+embedding cosine near-dup pairs vs numpy."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_web_crawling_and_indexing_system_gcp_spark.operators import dedup as DD
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different words here nothing shared at all"),
+    (5, "spark shuffle partition broadcast join window agg"),
+    (6, "spark shuffle partition broadcast join window aggregate plus"),  # near 5
+    (7, "one two"),                                        # too short for 3-shingles? (0 shingles at k=3... 0? n-2=0)
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def _py_shingles(text, k=3):
+    toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
+    return {" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))}
+
+
+def test_exact_dup_groups(spark, docs_df):
+    g = DD.exact_dup_groups(docs_df, "doc_id", "text").collect()
+    assert len(g) == 1
+    assert g[0]["n_dups"] == 2 and g[0]["keep_id"] == 1
+    assert sorted(g[0]["dup_ids"]) == [1, 3]
+
+
+def test_ngram_jaccard_matches_python(spark, docs_df):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            docs_df, "doc_id", "text", k=3, threshold=0.0
+        ).collect()
+    }
+    for a, b in itertools.combinations([d[0] for d in DOCS], 2):
+        sa, sb = _py_shingles(dict(DOCS)[a]), _py_shingles(dict(DOCS)[b])
+        inter = len(sa & sb)
+        if inter == 0:
+            assert (a, b) not in got
+        else:
+            want = inter / len(sa | sb)
+            assert got[(a, b)] == pytest.approx(want), (a, b)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs_df):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_candidates(
+            docs_df, "doc_id", "text", k=3, num_hashes=8, bands=8
+        ).collect()
+    }
+    # exact dup pair must always collide on every band
+    assert (1, 3) in pairs
+    # high-jaccard near-dups should be candidates with r=1 banding
+    assert (1, 2) in pairs and (5, 6) in pairs
+    # completely disjoint docs never share a minhash
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_matches_python(spark, docs_df):
+    sig = DD.minhash_signatures(docs_df, "doc_id", "text", k=3, num_hashes=4)
+    got = {r["doc"]: [r[f"minh_{i}"] for i in range(4)] for r in sig.collect()}
+    for doc_id, text in DOCS:
+        sh = _py_shingles(text)
+        if not sh:
+            assert doc_id not in got
+            continue
+        for i in range(4):
+            want = min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+            assert got[doc_id][i] == want
+
+
+def test_simhash_buckets_group_exact_dups(spark, docs_df):
+    sig = docs_df.select(
+        "doc_id", DD.simhash_signature(F.col("text")).alias("s")
+    ).collect()
+    by_id = {r["doc_id"]: r["s"] for r in sig}
+    assert by_id[1] == by_id[3]
+    assert all(len(s) == 16 and set(s) <= {"0", "1"} for s in by_id.values())
+    # hamming distance between near-dups is small, disjoint docs differ
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(by_id[1], by_id[2]) <= 6
+    assert ham(by_id[1], by_id[4]) >= 1
+
+
+def test_embedding_near_dup_vs_numpy(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 8).astype("float32")
+    base[1] = base[0] + 0.01 * rng.randn(8).astype("float32")  # near-dup
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label int")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in DD.embedding_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=-1.0, bucket_col="label"
+        ).collect()
+    }
+    for a, b in itertools.combinations(range(6), 2):
+        va, vb = base[a].astype("float64"), base[b].astype("float64")
+        want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert got[(a, b)] == pytest.approx(want, abs=1e-9)
+    near = {p for p, c in got.items() if c >= 0.99}
+    assert (0, 1) in near

@@ -1,0 +1,70 @@
+"""HTML → interleaved span parsing (P8/J1): structure, ordering, and the
+flattened-text invariant (text view == reference's joined
+stripped_strings, crawler_node.py:307)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_web_crawling_and_indexing_system_gcp_spark.functions.html import (
+    parse_html_one,
+    parse_html_udf,
+    text_view,
+)
+
+HTML = """<html><head><title>T1</title></head><body>
+<h1>Header &amp; more</h1>
+<p>para one</p>
+<a href="/x">anchor text</a>
+<img src="/i.png">
+<p>para <b>two</b> tail</p>
+<a href="http://h.test/y#f">second</a>
+</body></html>"""
+
+
+def test_span_interleave_order():
+    r = parse_html_one(HTML)
+    kinds = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+    assert kinds == [
+        ("text", "T1", None),
+        ("text", "Header & more", None),  # entity decoded
+        ("text", "para one", None),
+        ("link", None, "/x"),
+        ("text", "anchor text", None),
+        ("image", None, "/i.png"),
+        ("text", "para", None),
+        ("text", "two", None),
+        ("text", "tail", None),
+        ("link", None, "http://h.test/y#f"),
+        ("text", "second", None),
+    ]
+    assert [s["offset"] for s in r["spans"]] == list(range(len(r["spans"])))
+    assert r["links"] == ["/x", "http://h.test/y#f"]
+
+
+def test_text_equals_joined_stripped_strings():
+    r = parse_html_one(HTML)
+    assert r["text"] == "T1 Header & more para one anchor text para two tail second"
+
+
+def test_udf_and_text_view(spark):
+    df = spark.createDataFrame([("d1", HTML)], "doc_id string, html string")
+    parsed = df.withColumn("p", parse_html_udf("html"))
+    row = parsed.select(
+        F.col("p.text").alias("t"),
+        text_view(F.col("p.spans")).alias("tv"),
+        F.size("p.spans").alias("n"),
+    ).collect()[0]
+    assert row["t"] == row["tv"]
+    assert row["n"] == 11
+
+
+def test_empty_and_null(spark):
+    df = spark.createDataFrame(
+        [("a", "<html></html>"), ("b", None)], "doc_id string, html string"
+    )
+    rows = df.withColumn("p", parse_html_udf("html")).select("doc_id", "p.*").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id["a"]["spans"] == []
+    assert by_id["a"]["text"] == ""
+    assert by_id["b"]["spans"] is None

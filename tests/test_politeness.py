@@ -1,0 +1,62 @@
+"""Two-phase politeness window: equivalence with the naive global window,
+budget enforcement, determinism under skew."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from distributed_web_crawling_and_indexing_system_gcp_spark.operators.politeness import (
+    select_polite_batch,
+)
+
+BUDGET = 5
+
+
+def _frontier(spark):
+    # skewed: host h0 gets 70% of rows
+    return spark.range(400).select(
+        F.when(F.col("id") % 10 < 7, F.lit("h0.test"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 10).cast("string")))
+        .alias("host"),
+        F.concat(F.lit("http://x/"), F.col("id")).alias("url"),
+        (F.col("id") % 3).cast("int").alias("depth"),
+        F.lit("t").alias("task_id"),
+    )
+
+
+def test_budget_enforced(spark):
+    out = select_polite_batch(_frontier(spark), BUDGET, salt_buckets=4, order_cols=("depth", "url"))
+    per_host = (
+        out.filter("selected").groupBy("host").count().collect()
+    )
+    assert all(r["count"] <= BUDGET for r in per_host)
+
+
+def test_equals_naive_window(spark):
+    f = _frontier(spark)
+    out = select_polite_batch(f, BUDGET, salt_buckets=4, order_cols=("depth", "url"))
+    got = sorted(
+        (r["host"], r["url"]) for r in out.filter("selected").collect()
+    )
+    w = Window.partitionBy("host").orderBy("priority", "url")
+    naive = (
+        f.withColumnRenamed("depth", "priority")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BUDGET)
+    )
+    want = sorted((r["host"], r["url"]) for r in naive.collect())
+    assert got == want
+
+
+def test_total_preserved(spark):
+    f = _frontier(spark)
+    out = select_polite_batch(f, BUDGET, salt_buckets=4, order_cols=("depth", "url"))
+    assert out.count() == f.count()
+
+
+def test_deterministic_across_runs(spark):
+    f = _frontier(spark).repartition(7)  # different physical layout
+    a = sorted(map(tuple, select_polite_batch(f, BUDGET, 4, order_cols=("depth", "url")).collect()))
+    b = sorted(map(tuple, select_polite_batch(f.repartition(3), BUDGET, 4, order_cols=("depth", "url")).collect()))
+    assert a == b

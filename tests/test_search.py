@@ -1,0 +1,57 @@
+"""Postings build + top-k search + export pagination (SURVEY §2.6/§3.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_web_crawling_and_indexing_system_gcp_spark.operators import search as SE
+
+DOCS = [
+    ("u1", "spark window merge spark spark"),
+    ("u2", "window window table"),
+    ("u3", "merge table scan"),
+    ("u4", "nothing relevant here"),
+]
+
+
+@pytest.fixture(scope="module")
+def postings(spark):
+    df = spark.createDataFrame(DOCS, "doc_id string, text string")
+    return SE.build_postings(df, "doc_id", "text").cache()
+
+
+def test_postings_tf(postings):
+    tf = {(r["term"], r["doc"]): r["tf"] for r in postings.collect()}
+    assert tf[("spark", "u1")] == 3
+    assert tf[("window", "u2")] == 2
+    assert ("spark", "u2") not in tf
+
+
+def test_search_topk_tf_ranking(postings):
+    rows = SE.search_topk(postings, ["spark", "window"], k=3).collect()
+    ranked = [(r["doc"], r["score"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    # u1: 3 spark + 1 window = 4; u2: 2 window = 2
+    assert ranked[0][0] == "u1" and ranked[0][1] == 4.0
+    assert ranked[1][0] == "u2" and ranked[1][1] == 2.0
+    assert len(ranked) == 2  # u3/u4 match no query terms
+
+
+def test_search_tfidf_downweights_common_terms(spark, postings):
+    rows = SE.search_topk(postings, ["table", "spark"], k=4, n_docs=4)
+    got = {r["doc"]: r["score"] for r in rows.collect()}
+    # 'spark' (df=1) has higher idf than 'table' (df=2)
+    assert got["u1"] > got["u2"]
+
+
+def test_url_search_and_export(spark):
+    seen = spark.createDataFrame(
+        [(f"http://h{i % 3}.test/p/{i}",) for i in range(30)], "url string"
+    )
+    hits = SE.url_search(seen, "h1.test", limit=5).collect()
+    assert len(hits) == 5
+    assert all("h1.test" in r["url"] for r in hits)
+
+    page = SE.export_page(seen, "url", offset=10, size=7).collect()
+    all_sorted = sorted(r["url"] for r in seen.collect())
+    assert [r["url"] for r in page] == all_sorted[10:17]
