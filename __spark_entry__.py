@@ -282,6 +282,105 @@ def _q_retry_routing(spark, sf_dir):
     ).groupBy("route").agg(F.count("*").alias("n"))
 
 
+def _q_list_truncation(spark, sf_dir):
+    # A6: keep first 10 + last 40 when a per-task URL list exceeds 100
+    # (UI/main.py:318-322) — here over per-user event ids
+    ev = _t(spark, sf_dir, "events")
+    lists = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("ids")
+    )
+    truncated = F.when(
+        F.size("ids") > 100,
+        F.concat(F.slice("ids", 1, 10), F.slice("ids", -40, 40)),
+    ).otherwise(F.col("ids"))
+    return lists.select(
+        "user_id",
+        F.size("ids").alias("n_total"),
+        F.array_join(
+            F.transform(truncated, lambda x: x.cast("string")), ","
+        ).alias("kept_ids"),
+    )
+
+
+def _q_max_depth(spark, sf_dir):
+    # A3: current_depth = max(depth) per task (UI/main.py:281-283)
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.max((F.col("doc_id") % 5).cast("int")).alias("max_depth"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def _q_set_ops(spark, sf_dir):
+    # §2.7: union of two frontier slices + set-minus via left_anti
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    b = d.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    union = a.unionByName(b).distinct()
+    minus = union.join(
+        d.filter(F.col("doc_id") % 5 == 0).select("doc_id"), "doc_id", "left_anti"
+    )
+    return minus.select("doc_id")
+
+
+def _q_sessionize(spark, sf_dir):
+    # gap-based sessionization over the event stream (30-min gap):
+    # lag → new-session flag → running sum = session index → per-session agg
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # NTZ→epoch (UTC session)
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _q_spans_interleave(spark, sf_dir):
+    """Interleaved text+media spans (BASELINE.json input_hint shape):
+    synthesize a spans array<struct<kind,text,media_ref,offset>> from each
+    document deterministically, then compute the flattened text view over
+    text spans (== crawler's joined stripped_strings semantics) and the
+    media-span count.  Shows the span machinery is SQL-reproducible."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    # kind decided per-token from md5 (cross-engine): ~1/8 become media
+    spans = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.when(F.substring(F.md5(t), 1, 1).isin("0", "1"), F.lit("image"))
+            .otherwise(F.lit("text"))
+            .alias("kind"),
+            t.alias("text"),
+        ),
+    )
+    texts = F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+    media = F.filter(spans, lambda s: s["kind"] == F.lit("image"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform(texts, lambda s: s["text"]), " ").alias("text_view"),
+        F.size(media).alias("n_media"),
+        F.size(spans).alias("n_spans"),
+    )
+
+
+def _q_search_tfidf(spark, sf_dir):
+    n_docs = _t(spark, sf_dir, "documents").count()
+    p = _q_postings(spark, sf_dir)
+    out = SE.search_topk(p, ["spark", "window", "merge"], k=10, n_docs=n_docs)
+    return out.select("doc", F.round("score", 6).alias("score"), "rank")
+
+
 # ---------------------------------------------------------------------------
 # search surface (postings build + top-k + url search analogues)
 # ---------------------------------------------------------------------------
@@ -531,6 +630,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "health_lastseen": _q_health_lastseen,
         "event_windows": _q_event_windows,
         "retry_routing": _q_retry_routing,
+        "list_truncation": _q_list_truncation,
+        "max_depth": _q_max_depth,
+        "set_ops": _q_set_ops,
+        "sessionize": _q_sessionize,
+        "spans_interleave": _q_spans_interleave,
+        "search_tfidf": _q_search_tfidf,
         "postings": _q_postings,
         "term_stats": _q_term_stats,
         "search_topk": _q_search_topk,
@@ -679,6 +784,73 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS route,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "list_truncation": """
+            WITH l AS (SELECT user_id, list_sort(list(event_id)) AS ids
+                       FROM events GROUP BY user_id),
+            t AS (SELECT user_id, ids,
+                         CASE WHEN len(ids) > 100
+                              THEN list_concat(ids[1:10], ids[-40:])
+                              ELSE ids END AS kept
+                  FROM l)
+            SELECT user_id, len(ids) AS n_total,
+                   array_to_string(kept, ',') AS kept_ids
+            FROM t
+        """,
+        "max_depth": """
+            SELECT source, CAST(max(doc_id % 5) AS INTEGER) AS max_depth,
+                   count(DISTINCT lang) AS n_langs
+            FROM documents GROUP BY source
+        """,
+        "set_ops": """
+            WITH u AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+                    UNION ALL
+                    SELECT doc_id FROM documents WHERE doc_id % 3 = 0))
+            SELECT doc_id FROM u
+            WHERE doc_id % 5 <> 0
+        """,
+        "sessionize": """
+            WITH g AS (SELECT user_id, event_id, ts,
+                              epoch(ts) - lag(epoch(ts)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                       FROM events),
+            f AS (SELECT user_id, event_id, ts,
+                         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s
+                  FROM g),
+            s AS (SELECT user_id, ts,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM f)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "spans_interleave": r"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+                       FROM documents)
+            SELECT doc_id,
+                   array_to_string(list_filter(l, x -> substr(md5(x), 1, 1) NOT IN ('0', '1')), ' ') AS text_view,
+                   len(list_filter(l, x -> substr(md5(x), 1, 1) IN ('0', '1'))) AS n_media,
+                   len(l) AS n_spans
+            FROM t
+        """,
+        "search_tfidf": f"""
+            {toks_cte},
+            p AS (SELECT tok AS term, doc_id AS doc, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(l) AS tok FROM tok) GROUP BY 1, 2),
+            ndocs AS (SELECT count(*) AS n FROM documents),
+            dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM p GROUP BY term),
+            s AS (SELECT p.doc, sum(p.tf * ln(1.0 + (SELECT n FROM ndocs) * 1.0 / dfreq.df)) AS score
+                  FROM p JOIN dfreq ON p.term = dfreq.term
+                  WHERE p.term IN ('spark', 'window', 'merge') GROUP BY p.doc),
+            r AS (SELECT doc, score AS raw_score,
+                         row_number() OVER (ORDER BY score DESC, doc ASC) AS rn
+                  FROM s)
+            SELECT doc, round(raw_score, 6) AS score, CAST(rn AS INTEGER) AS rank
+            FROM r WHERE rn <= 10
         """,
         "postings": f"""
             {toks_cte}

@@ -156,14 +156,16 @@ def _extract_links(ok_html: DataFrame, cfg: CrawlConfig) -> DataFrame:
         F.coalesce(F.col("final_url"), F.col("url")).alias("base_url"),
         F.posexplode(F.col("parsed.links")).alias("link_pos", "href"),
     )
+    # ONE fused Arrow pass: urljoin + urlparse + canonicalize
     resolved = links.withColumn(
-        "new_url", U.resolve_link_udf(F.col("base_url"), F.col("href"))
+        "_rp", U.resolve_and_parse_udf(F.col("base_url"), F.col("href"))
     )
-    parsed = (
-        resolved.withColumn("scheme", U.scheme_udf(F.col("new_url")))
-        .withColumn("netloc", U.host_udf(F.col("new_url")))
-        .filter(U.is_schemed_http(F.col("scheme"), F.col("netloc")))
-    )
+    parsed = resolved.select(
+        "*",
+        F.col("_rp.scheme").alias("scheme"),
+        F.col("_rp.netloc").alias("netloc"),
+        F.col("_rp.canonical").alias("canonical_url"),
+    ).filter(U.is_schemed_http(F.col("scheme"), F.col("netloc")))
     # substring (NOT suffix) domain restriction, case-sensitive on the
     # non-normalized netloc (crawler_node.py:363)
     restricted = parsed.filter(
@@ -171,9 +173,7 @@ def _extract_links(ok_html: DataFrame, cfg: CrawlConfig) -> DataFrame:
         | F.col("netloc").contains(F.col("domain_restriction"))
     )
     return (
-        restricted.withColumn(
-            "canonical_url", U.canonicalize_udf(U.clean_col(F.col("new_url")))
-        )
+        restricted.drop("_rp")
         .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
         .withColumn("child_depth", F.col("depth") + F.lit(1))
     )
@@ -222,10 +222,9 @@ def run_round(
     # Timeout retries bypass the check (T2 re-delivery of an owned task).
     first_timers = batch.filter(F.col("status") == "pending")
     retries = batch.filter(F.col("status") != "pending")
-    processed = (
-        frontier.filter(F.col("round_processed").isNotNull())
-        .select("url_hash")
-        .distinct()
+    # right side of a left_anti needs no distinct — skip the extra shuffle
+    processed = frontier.filter(F.col("round_processed").isNotNull()).select(
+        "url_hash"
     )
     new_batch = first_timers.join(processed, "url_hash", "left_anti")
     skipped_seen = first_timers.join(
@@ -242,11 +241,20 @@ def run_round(
     new_batch = new_batch.filter(F.col("_rn") == 1).drop("_rn")
     skipped_seen = skipped_seen.unionByName(batch_dups)
 
+    # new_batch feeds the robots gate, the seen update, metrics, AND the
+    # skipped_seen anti-join — persist so the window+anti-join subtree
+    # runs once per round, not once per consumer
+    new_batch = new_batch.persist()
+
     # seen grows by every selected-for-processing canonical — BEFORE the
-    # robots gate (crawler_node.py:256-258 precedes :264)
-    seen_after_batch = seen.unionByName(
-        new_batch.select("url_hash", F.col("canonical_url").alias("url"))
-    ).dropDuplicates(["url_hash"])
+    # robots gate (crawler_node.py:256-258 precedes :264).  Children are
+    # already in seen (added at enqueue), so the genuine additions are the
+    # batch keys NOT in seen (≈ the seed rows) — an anti-join over the
+    # small batch instead of a dropDuplicates shuffle over the full seen.
+    batch_adds = new_batch.select(
+        "url_hash", F.col("canonical_url").alias("url")
+    ).join(seen.select("url_hash"), "url_hash", "left_anti")
+    seen_after_batch = seen.unionByName(batch_adds)
 
     # -- robots: fetch-once-per-new-host, then broadcast-join gate ----------
     to_fetch = new_batch.unionByName(retries)
@@ -254,16 +262,22 @@ def run_round(
     fetched_rules = need.join(robots_src, "host", "left").select(
         "host", "rules_txt"
     )  # host missing from robots_src ⇒ null rules ⇒ permissive
-    robots_after = robots_rules.unionByName(fetched_rules).dropDuplicates(["host"])
+    # `need` is anti-joined against robots_rules ⇒ disjoint; plain union
+    robots_after = robots_rules.unionByName(fetched_rules)
 
     gated = robots.gate_on_robots(to_fetch, robots_after)
     blocked = gated.filter(~F.col("robots_allowed")).drop("robots_allowed")
     allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
 
     # -- fetch (closed world) + outcome routing -----------------------------
-    fetched = classify_fetch(fetch_synthetic(allowed, web_pages))
-    ok_html = fetched.filter(F.col("fetch_outcome") == "ok_html").withColumn(
-        "parsed", parse_html_udf(F.col("html"))
+    # fetched/ok_html fan out to documents, link extraction, metrics and
+    # four frontier-status branches — persist so the fetch join and the
+    # parse_html pandas UDF execute once per round
+    fetched = classify_fetch(fetch_synthetic(allowed, web_pages)).persist()
+    ok_html = (
+        fetched.filter(F.col("fetch_outcome") == "ok_html")
+        .withColumn("parsed", parse_html_udf(F.col("html")))
+        .persist()
     )
     ok_other = fetched.filter(F.col("fetch_outcome") == "ok_other")
     timeouts = fetched.filter(F.col("fetch_outcome") == "timeout")
@@ -302,6 +316,8 @@ def run_round(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # consumed by frontier append + seen update + metrics
+    fresh = fresh.persist()
     new_frontier = fresh.select(
         F.col("canonical_url").alias("url"),  # children enqueue normalized
         F.col("canonical_url"),
@@ -317,9 +333,10 @@ def run_round(
         F.lit(None).cast("int").alias("round_processed"),
     )
 
+    # `fresh` is anti-joined vs seen AND vs batch_adds ⇒ disjoint; union
     seen_final = seen_after_batch.unionByName(
         new_frontier.select("url_hash", F.col("canonical_url").alias("url"))
-    ).dropDuplicates(["url_hash"])
+    )
 
     # -- frontier state update ----------------------------------------------
     def finish(df: DataFrame, status: str, bump_attempts: bool = False) -> DataFrame:
@@ -369,12 +386,21 @@ def run_round(
         .unionByName(metric(documents.withColumnRenamed("doc_id", "url"), "indexer", "url_indexed"))
     )
 
+    # keys added to seen this round — lets the driver update Bloom shards
+    # incrementally (build over the delta, bitwise-OR into the shard map)
+    # instead of re-hashing the whole seen set every round
+    new_seen_keys = new_batch.select("url_hash").unionByName(
+        new_frontier.select("url_hash")
+    )
+
     return {
         "frontier": frontier_after,
         "seen": seen_final,
         "robots": robots_after,
         "documents": documents,
         "metrics": metrics,
+        "new_seen_keys": new_seen_keys,
+        "_persisted": [new_batch, fetched, ok_html, fresh],
     }
 
 
@@ -418,7 +444,9 @@ def run_crawl(
     for round_no in range(start_round, cfg.max_rounds):
         if frontier.filter(retryable).limit(1).count() == 0:
             break
-        if cfg.use_bloom:
+        if cfg.use_bloom and bloom is None:
+            # full build only on entry (empty at fresh start; one pass on
+            # resume) — thereafter updated incrementally from round deltas
             shards_df = seen_ops.build_bloom_shards(
                 seen, cfg.bloom_shards, cfg.bloom_bits_per_shard
             )
@@ -451,6 +479,13 @@ def run_crawl(
             robots_rules = out["robots"].localCheckpoint()
             documents = documents.unionByName(out["documents"].localCheckpoint())
             metrics = metrics.unionByName(out["metrics"].localCheckpoint())
+        if cfg.use_bloom and bloom is not None:
+            delta = seen_ops.build_bloom_shards(
+                out["new_seen_keys"], cfg.bloom_shards, cfg.bloom_bits_per_shard
+            )
+            bloom = seen_ops.or_shards(bloom, seen_ops.shards_to_dict(delta))
+        for df in out.get("_persisted", []):
+            df.unpersist()
 
     if store is not None:
         return {
