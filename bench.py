@@ -26,7 +26,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def crawl_workload(spark, n_pages: int, budget: int = 4000, depth: int = 2):
+def crawl_workload(spark, n_pages: int, budget: int = 4000, depth: int = 2,
+                   richness: int = 8):
     """The engine's real job: multi-round crawl of a synthetic web.
 
     Returns (pages_fetched, urls_scheduled)."""
@@ -37,7 +38,10 @@ def crawl_workload(spark, n_pages: int, budget: int = 4000, depth: int = 2):
     from distributed_web_crawling_and_indexing_system_gcp_spark.sources import webgen
 
     n_hosts = 64
-    web = webgen.make_web_pages(spark, n_pages, n_hosts)
+    # cache: the fetch join touches web_pages every round; without caching
+    # the generator UDF re-renders the whole synthetic web per action
+    web = webgen.make_web_pages(spark, n_pages, n_hosts, richness).persist()
+    web.count()
     robots = webgen.make_robots_src(spark, n_hosts)
     # dense seeding (every 8th page) so a depth-2 BFS reaches most of the
     # closed world — the measurement is fetch/dedup/parse throughput, not

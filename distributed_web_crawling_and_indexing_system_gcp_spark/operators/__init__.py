@@ -1,1 +1,10 @@
-from . import dedup, multimodal, politeness, robots, search, seen, similarity  # noqa: F401
+from . import (  # noqa: F401
+    cuckoo,
+    dedup,
+    multimodal,
+    politeness,
+    robots,
+    search,
+    seen,
+    similarity,
+)

@@ -69,6 +69,45 @@ def search_topk(
     )
 
 
+def save_postings_partitioned(
+    postings: DataFrame, path: str, num_buckets: int = 64
+) -> None:
+    """Scale path for the index: persist postings hive-partitioned by a
+    term-hash bucket so query-time scans prune to |query terms| buckets
+    out of ``num_buckets`` (PartitionFilters in the scan, not a full read).
+
+    At 100 TB this is the difference between touching ~1/64th of the index
+    per term and scanning all of it.  xxhash64 keeps the bucket function
+    JVM-side and consistent between write and read.
+    """
+    bucketed = postings.withColumn(
+        "term_bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(num_buckets)).cast("int")
+    )
+    (
+        bucketed.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path)
+    )
+
+
+def search_partitioned(
+    spark, path: str, query_terms: list[str], k: int = 10,
+    num_buckets: int = 64, n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k search over the partitioned index — the scan carries a
+    ``term_bucket IN (...)`` partition filter, so only the query terms'
+    buckets are read."""
+    buckets = (
+        spark.createDataFrame([(t,) for t in query_terms], "term string")
+        .select(F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int").alias("b"))
+        .collect()
+    )
+    wanted = sorted({r["b"] for r in buckets})
+    postings = spark.read.parquet(path).filter(F.col("term_bucket").isin(wanted))
+    return search_topk(postings.drop("term_bucket"), query_terms, k, n_docs)
+
+
 def url_search(seen: DataFrame, q: str, limit: int = 20) -> DataFrame:
     """Substring URL search (the honest implementation of the reference's
     mocked /search/urls endpoint)."""

@@ -88,6 +88,7 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits_per_shard: int = 1 << 18
     use_bloom: bool = True
+    filter_kind: str = "bloom"  # "bloom" | "cuckoo" (deletable fallback)
     max_rounds: int = 64
     extra: dict = field(default_factory=dict)
 
@@ -447,9 +448,16 @@ def run_crawl(
         if cfg.use_bloom and bloom is None:
             # full build only on entry (empty at fresh start; one pass on
             # resume) — thereafter updated incrementally from round deltas
-            shards_df = seen_ops.build_bloom_shards(
-                seen, cfg.bloom_shards, cfg.bloom_bits_per_shard
-            )
+            if cfg.filter_kind == "cuckoo":
+                from ..operators import cuckoo as ckf
+
+                shards_df = ckf.build_cuckoo_shards(
+                    seen, cfg.bloom_shards, max(cfg.bloom_bits_per_shard // 64, 1024)
+                )
+            else:
+                shards_df = seen_ops.build_bloom_shards(
+                    seen, cfg.bloom_shards, cfg.bloom_bits_per_shard
+                )
             bloom = seen_ops.shards_to_dict(shards_df)
         out = run_round(
             spark, round_no, frontier, seen, robots_rules,
@@ -480,10 +488,26 @@ def run_crawl(
             documents = documents.unionByName(out["documents"].localCheckpoint())
             metrics = metrics.unionByName(out["metrics"].localCheckpoint())
         if cfg.use_bloom and bloom is not None:
-            delta = seen_ops.build_bloom_shards(
-                out["new_seen_keys"], cfg.bloom_shards, cfg.bloom_bits_per_shard
-            )
-            bloom = seen_ops.or_shards(bloom, seen_ops.shards_to_dict(delta))
+            if cfg.filter_kind == "cuckoo":
+                from ..operators import cuckoo as ckf
+                import numpy as _np
+
+                keys = _np.array(
+                    [r["url_hash"] for r in out["new_seen_keys"].collect()],
+                    dtype=_np.int64,
+                )
+                by_shard = {
+                    int(s): keys[_np.mod(keys, cfg.bloom_shards) == s]
+                    for s in _np.unique(_np.mod(keys, cfg.bloom_shards))
+                }
+                bloom = ckf.merge_shards(
+                    bloom, by_shard, max(cfg.bloom_bits_per_shard // 64, 1024)
+                )
+            else:
+                delta = seen_ops.build_bloom_shards(
+                    out["new_seen_keys"], cfg.bloom_shards, cfg.bloom_bits_per_shard
+                )
+                bloom = seen_ops.or_shards(bloom, seen_ops.shards_to_dict(delta))
         for df in out.get("_persisted", []):
             df.unpersist()
 

@@ -74,7 +74,11 @@ _WORDS = (
 ).split()
 
 
-def _html_for(i: int, n: int, n_hosts: int) -> str:
+def _html_for(i: int, n: int, n_hosts: int, richness: int = 1) -> str:
+    """``richness`` scales page weight (paragraphs + extra cross links)
+    without changing the base link structure the parity tests pin down —
+    richness=1 is the test fixture; the bench uses heavier pages so parse
+    work dominates per-round orchestration."""
     words = " ".join(_WORDS[(i + k) % len(_WORDS)] for k in range(10))
     parts = [
         f"<html><head><title>Page {i}</title></head><body>",
@@ -87,11 +91,20 @@ def _html_for(i: int, n: int, n_hosts: int) -> str:
             parts.append(f"<span>between {i} {pos}</span>")
         if pos % 3 == 0:
             parts.append(f'<img src="/img/{i}_{pos}.png">')
+    for r in range(richness - 1):
+        para = " ".join(
+            _WORDS[(i * 7 + r * 13 + k) % len(_WORDS)] for k in range(40)
+        )
+        parts.append(f"<p>{para}</p>")
+        parts.append(f'<a href="{url_of((i * 11 + r * 29 + 1) % n, n_hosts)}">x{r}</a>')
+        parts.append(f'<img src="/img/{i}_{r}_extra.png">')
     parts.append("</body></html>")
     return "\n".join(parts)
 
 
-def make_web_pages(spark: SparkSession, n_pages: int, n_hosts: int = 8) -> DataFrame:
+def make_web_pages(
+    spark: SparkSession, n_pages: int, n_hosts: int = 8, richness: int = 1
+) -> DataFrame:
     """(url, final_url, status, content_type, html, fetch_ms) — the
     closed-world fetch oracle, generated executor-side."""
 
@@ -111,7 +124,7 @@ def make_web_pages(spark: SparkSession, n_pages: int, n_hosts: int = 8) -> DataF
             else:
                 if i % 61 == 13:
                     final = u + "?canonical=1"  # redirect
-                html = _html_for(i, n_pages, n_hosts)
+                html = _html_for(i, n_pages, n_hosts, richness)
             rows.append(
                 {
                     "url": u,

@@ -55,3 +55,21 @@ def test_url_search_and_export(spark):
     page = SE.export_page(seen, "url", offset=10, size=7).collect()
     all_sorted = sorted(r["url"] for r in seen.collect())
     assert [r["url"] for r in page] == all_sorted[10:17]
+
+
+def test_partitioned_index_prunes_and_matches(spark, postings, tmp_path):
+    path = str(tmp_path / "postings_idx")
+    SE.save_postings_partitioned(postings, path, num_buckets=16)
+
+    full = {
+        (r["doc"], r["rank"])
+        for r in SE.search_topk(postings, ["spark", "window"], k=5).collect()
+    }
+    pruned_df = SE.search_partitioned(spark, path, ["spark", "window"], k=5,
+                                      num_buckets=16)
+    pruned = {(r["doc"], r["rank"]) for r in pruned_df.collect()}
+    assert pruned == full
+
+    # the scan must carry a partition filter on term_bucket
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan
