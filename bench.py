@@ -26,15 +26,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def crawl_workload(spark, n_pages: int, budget: int = 4000, depth: int = 2,
-                   richness: int = 8):
-    """The engine's real job: multi-round crawl of a synthetic web.
-
-    Returns (pages_fetched, urls_scheduled)."""
-    from distributed_web_crawling_and_indexing_system_gcp_spark.plans.crawl import (
-        CrawlConfig,
-        run_crawl,
-    )
+def setup_crawl(spark, n_pages: int, depth: int = 2, richness: int = 8):
+    """Build (and fully materialize) the synthetic closed-world web plus
+    robots/seed fixtures.  This is the *environment* (the internet), not
+    the engine — the scaling bench times only the crawl itself."""
     from distributed_web_crawling_and_indexing_system_gcp_spark.sources import webgen
 
     n_hosts = 64
@@ -57,6 +52,19 @@ def crawl_workload(spark, n_pages: int, budget: int = 4000, depth: int = 2,
         ],
         "task_id string, seed_urls array<string>, depth int, domain_restriction string",
     )
+    return web, robots, seeds
+
+
+def run_crawl_workload(spark, web, robots, seeds, budget: int = 4000,
+                       depth: int = 2):
+    """The engine's real job: multi-round crawl of a synthetic web.
+
+    Returns (pages_fetched, urls_scheduled)."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.plans.crawl import (
+        CrawlConfig,
+        run_crawl,
+    )
+
     cfg = CrawlConfig(
         max_depth=depth,
         politeness_budget=budget,
@@ -69,6 +77,16 @@ def crawl_workload(spark, n_pages: int, budget: int = 4000, depth: int = 2,
     fetched = out["frontier"].filter("status = 'fetched'").count()
     scheduled = out["frontier"].count()
     return fetched, scheduled
+
+
+def crawl_workload(spark, n_pages: int, budget: int = 4000, depth: int = 2,
+                   richness: int = 8):
+    """setup + run in one call (fixture generation included in wall time)."""
+    web, robots, seeds = setup_crawl(spark, n_pages, depth, richness)
+    try:
+        return run_crawl_workload(spark, web, robots, seeds, budget, depth)
+    finally:
+        web.unpersist()
 
 
 def main():

@@ -20,8 +20,12 @@ equivalent and skew-proof:
 The global per-host top-``budget`` under a total order is always contained
 in the union of per-salt-bucket top-``budget``s, so the result is
 bit-identical to the naive window while the heavy partition is S× smaller.
-Ordering key is (priority, url) — the engine's deterministic frontier
-order (SURVEY.md §2.6 O6).
+Phase 2 windows ONLY the ≤ budget·S survivors per host (never the full
+host partition), so no task ever sorts more than budget·S rows — the hot
+host costs the same as any other.  The two union branches share the
+phase-1 exchange (Spark ReusedExchange), so the extra branch re-sorts but
+does not re-shuffle.  Ordering key is (priority, url) — the engine's
+deterministic frontier order (SURVEY.md §2.6 O6).
 """
 
 from __future__ import annotations
@@ -49,21 +53,18 @@ def select_polite_batch(
     w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
     phase1 = salted.withColumn("_r1", F.row_number().over(w1))
 
-    # phase 2 in the same pass: rank *among phase-1 survivors* via a
-    # running conditional count over the per-host order — avoids a second
-    # plan branch + union (one exchange per phase, no recomputation)
-    w2 = (
-        Window.partitionBy(host_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # phase 2 over SURVIVORS ONLY (≤ budget·S rows per host) — a window
+    # over the full host partition would sort the hot host in one task
+    # (serial Amdahl floor); bounding the partition keeps every task small
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    survivors = phase1.filter(F.col("_r1") <= budget).withColumn(
+        "selected", F.row_number().over(w2) <= budget
     )
-    survivor_rank = F.sum(
-        F.when(F.col("_r1") <= budget, F.lit(1)).otherwise(F.lit(0))
-    ).over(w2)
-    flagged = phase1.withColumn(
-        "selected", (F.col("_r1") <= budget) & (survivor_rank <= budget)
+    overflow = phase1.filter(F.col("_r1") > budget).withColumn(
+        "selected", F.lit(False)
     )
-    return flagged.select(*frontier.columns, "selected")
+    cols = [*frontier.columns, "selected"]
+    return survivors.select(cols).unionByName(overflow.select(cols))
 
 
 __all__ = ["select_polite_batch"]

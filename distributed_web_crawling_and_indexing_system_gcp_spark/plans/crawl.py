@@ -108,6 +108,9 @@ def seeds_to_frontier(spark: SparkSession, seed_jobs: DataFrame) -> DataFrame:
         F.col("depth").alias("depth_limit"),
         F.col("domain_restriction"),
     )
+    # one seed job = one input row ⇒ the exploded URLs land in one
+    # partition; spread them so the canonicalize/host UDFs parallelize
+    rows = rows.repartition(spark.sparkContext.defaultParallelism)
     cleaned = rows.withColumn("url", U.clean_col(F.col("raw_url"))).filter(
         U.is_valid_http(F.col("url"))
     )
@@ -203,12 +206,15 @@ def run_round(
     settled = frontier.filter(~retryable)
 
     # -- politeness window: ≤ budget rows per host this round ---------------
+    # persisted: deferred, first_timers, retries, and skipped_seen all
+    # branch off this subtree — without the persist the window shuffles
+    # (and everything upstream) re-execute once per consumer
     windowed = politeness.select_polite_batch(
         pending,
         budget=cfg.politeness_budget,
         salt_buckets=cfg.salt_buckets,
         order_cols=("depth", "url", "task_id"),
-    )
+    ).persist()
     deferred = windowed.filter(~F.col("selected")).drop("selected")
     batch = windowed.filter(F.col("selected")).drop("selected")
 
@@ -401,7 +407,7 @@ def run_round(
         "documents": documents,
         "metrics": metrics,
         "new_seen_keys": new_seen_keys,
-        "_persisted": [new_batch, fetched, ok_html, fresh],
+        "_persisted": [windowed, new_batch, fetched, ok_html, fresh],
     }
 
 
@@ -431,7 +437,10 @@ def run_crawl(
     else:
         start_round = 0
         jobs = dedupe_seed_jobs(seed_jobs)
-        frontier = seeds_to_frontier(spark, jobs)
+        # materialize once: the seed subtree (explode + canonicalize UDFs)
+        # is referenced by many round-0 branches and would otherwise
+        # re-execute per consumer
+        frontier = seeds_to_frontier(spark, jobs).localCheckpoint()
         seen = _empty(spark, SEEN_SCHEMA)
         robots_rules = _empty(spark, "host string, rules_txt string")
 
@@ -441,6 +450,15 @@ def run_crawl(
     retryable = (F.col("status") == "pending") | (
         (F.col("status") == "timeout") & (F.col("attempts") < cfg.max_attempts)
     )
+
+    # state tables are re-materialized every round; without an explicit
+    # repartition the 9-branch frontier union COMPOUNDS partitions across
+    # rounds (round 4 reached ~1600 near-empty partitions — pure task
+    # overhead that grows with core count).  Normalizing to a fixed
+    # url_hash bucketing also gives next round's anti-joins a stable
+    # co-partitioning.  (At 10^10 scale the same normalization is the
+    # Iceberg state-table write: bucket(url_hash) partitioning.)
+    n_buckets = spark.sparkContext.defaultParallelism
 
     for round_no in range(start_round, cfg.max_rounds):
         if frontier.filter(retryable).limit(1).count() == 0:
@@ -463,6 +481,11 @@ def run_crawl(
             spark, round_no, frontier, seen, robots_rules,
             web_pages, robots_src, cfg, bloom,
         )
+        out["frontier"] = out["frontier"].repartition(n_buckets, "url_hash")
+        out["seen"] = out["seen"].repartition(n_buckets, "url_hash")
+        out["robots"] = out["robots"].coalesce(1)  # ≤ one row per host
+        out["documents"] = out["documents"].coalesce(n_buckets)
+        out["metrics"] = out["metrics"].coalesce(n_buckets)
         if store is not None:
             store.commit_round(
                 round_no,

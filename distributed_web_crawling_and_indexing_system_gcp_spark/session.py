@@ -14,6 +14,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _scratch_dir() -> str:
+    d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if d:
+        return d
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        return "/tmp"
+
+
 def build_session(
     app_name: str = "pyspark-frontier",
     master: str | None = None,
@@ -43,6 +55,11 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/checkpoint scratch on tmpfs: this sandbox VM's ext4 root
+        # has pathologically slow small-file metadata ops (measured 1.7×
+        # end-to-end), and a real cluster would put spark.local.dir on
+        # fast local SSDs anyway.  Override with SPARK_GRAFT_LOCAL_DIR.
+        .config("spark.local.dir", _scratch_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

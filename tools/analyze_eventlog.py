@@ -1,0 +1,83 @@
+"""Summarize a Spark event log: job/stage counts, stage-time by name,
+driver-only gaps, task-time totals.  Usage:
+    python tools/analyze_eventlog.py /tmp/spark-events/local-*
+"""
+from __future__ import annotations
+
+import collections
+import glob
+import json
+import sys
+
+
+def main():
+    path = sorted(glob.glob(sys.argv[1]))[-1]
+    stages = {}
+    jobs = []
+    task_time = collections.Counter()
+    gc_time = collections.Counter()
+    for line in open(path):
+        try:
+            e = json.loads(line)
+        except Exception:
+            continue
+        t = e.get("Event")
+        if t == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            sub = si.get("Submission Time")
+            comp = si.get("Completion Time")
+            stages[si["Stage ID"]] = {
+                "name": si["Stage Name"].split(" at ")[0],
+                "dur": (comp - sub) / 1000 if sub and comp else 0,
+                "tasks": si["Number of Tasks"],
+                "sub": sub,
+                "comp": comp,
+            }
+        elif t == "SparkListenerJobStart":
+            jobs.append({"id": e["Job ID"], "t0": e["Submission Time"]})
+        elif t == "SparkListenerJobEnd":
+            for j in jobs:
+                if j["id"] == e["Job ID"]:
+                    j["t1"] = e["Completion Time"]
+        elif t == "SparkListenerTaskEnd":
+            m = e.get("Task Metrics") or {}
+            sid = e["Stage ID"]
+            task_time[sid] += m.get("Executor Run Time", 0)
+            gc_time[sid] += m.get("JVM GC Time", 0)
+    tmin = min(j["t0"] for j in jobs)
+    tmax = max(j.get("t1", j["t0"]) for j in jobs)
+    print(f"jobs={len(jobs)} stages={len(stages)} wall={(tmax-tmin)/1000:.0f}s")
+    byname = collections.Counter()
+    cnt = collections.Counter()
+    tasks = collections.Counter()
+    run = collections.Counter()
+    for sid, s in stages.items():
+        byname[s["name"]] += s["dur"]
+        cnt[s["name"]] += 1
+        tasks[s["name"]] += s["tasks"]
+        run[s["name"]] += task_time[sid] / 1000
+    print("stage wall-time by name (task-run-time):")
+    for n, d in byname.most_common(16):
+        print(f"  {d:8.1f}s (run {run[n]:7.1f}s) x{cnt[n]:4d} stages {tasks[n]:6d} tasks  {n}")
+    print(f"total gc: {sum(gc_time.values())/1000:.1f}s")
+    iv = sorted((s["sub"], s["comp"]) for s in stages.values() if s["sub"])
+    cov = 0
+    cur = None
+    for a, b in iv:
+        if cur is None or a > cur[1]:
+            if cur:
+                cov += cur[1] - cur[0]
+            cur = [a, b]
+        else:
+            cur[1] = max(cur[1], b)
+    if cur:
+        cov += cur[1] - cur[0]
+    print(f"covered by running stages: {cov/1000:.0f}s; driver-only gaps: {(tmax-tmin-cov)/1000:.0f}s")
+    top = sorted(stages.items(), key=lambda kv: -kv[1]["dur"])[:10]
+    print("longest stages:")
+    for sid, s in top:
+        print(f"  stage {sid:4d} {s['dur']:7.1f}s {s['tasks']:5d} tasks run={task_time[sid]/1000:6.1f}s gc={gc_time[sid]/1000:5.1f}s  {s['name']}")
+
+
+if __name__ == "__main__":
+    main()
