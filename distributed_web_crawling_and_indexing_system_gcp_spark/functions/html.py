@@ -50,13 +50,12 @@ SPAN_SCHEMA = StructType(
     ]
 )
 
-PARSE_SCHEMA = StructType(
-    [
-        StructField("spans", ArrayType(SPAN_SCHEMA)),
-        StructField("links", ArrayType(StringType())),
-        StructField("text", StringType()),
-    ]
-)
+# The UDF returns ONLY the spans — `links` (href sequence) and `text`
+# (joined text nodes) are pure projections of the spans and are derived
+# JVM-side with Catalyst array functions (links_view / text_view below).
+# Returning them from Python would double the Arrow transfer volume of
+# the crawl's hottest stage.
+PARSE_SCHEMA = ArrayType(SPAN_SCHEMA)
 
 
 class _SpanParser(HTMLParser):
@@ -82,31 +81,22 @@ class _SpanParser(HTMLParser):
             self.spans.append(("text", stripped, None))
 
 
-def parse_html_one(html: str | None) -> dict | None:
-    """Parse one HTML document into (spans, links, text)."""
+def parse_html_one(html: str | None) -> list | None:
+    """Parse one HTML document into its interleaved span list."""
     if html is None:
         return None
     p = _SpanParser()
     p.feed(html)
     p.close()
-    spans = [
+    return [
         {"kind": k, "text": t, "media_ref": m, "offset": i}
         for i, (k, t, m) in enumerate(p.spans)
     ]
-    text = " ".join(t for k, t, _ in p.spans if k == "text")
-    return {"spans": spans, "links": p.links, "text": text}
 
 
 @pandas_udf(PARSE_SCHEMA)
-def parse_html_udf(html: pd.Series) -> pd.DataFrame:
-    rows = [parse_html_one(h) for h in html]
-    return pd.DataFrame(
-        {
-            "spans": [r["spans"] if r else None for r in rows],
-            "links": [r["links"] if r else None for r in rows],
-            "text": [r["text"] if r else None for r in rows],
-        }
-    )
+def parse_html_udf(html: pd.Series) -> pd.Series:
+    return pd.Series([parse_html_one(h) for h in html], dtype="object")
 
 
 def text_view(spans_col):
@@ -119,4 +109,21 @@ def text_view(spans_col):
     return F.array_join(F.transform(texts, lambda s: s["text"]), " ")
 
 
-__all__ = ["SPAN_SCHEMA", "PARSE_SCHEMA", "parse_html_udf", "parse_html_one", "text_view"]
+def links_view(spans_col):
+    """Ordered raw-href list over a spans column — equals the reference's
+    ``soup.find_all('a', href=True)`` sequence (crawler_node.py:349-356).
+
+    Pure Catalyst: filter + transform, no UDF.
+    """
+    links = F.filter(spans_col, lambda s: s["kind"] == F.lit("link"))
+    return F.transform(links, lambda s: s["media_ref"])
+
+
+__all__ = [
+    "SPAN_SCHEMA",
+    "PARSE_SCHEMA",
+    "parse_html_udf",
+    "parse_html_one",
+    "text_view",
+    "links_view",
+]

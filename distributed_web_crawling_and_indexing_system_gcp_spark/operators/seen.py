@@ -165,6 +165,41 @@ def filter_new(
     return definitely_new.unionByName(confirmed_new)
 
 
+def bloom_insert_driver(
+    shards: dict[int, bytes],
+    url_hashes: np.ndarray,
+    num_shards: int,
+    bits_per_shard: int,
+) -> dict[int, bytes]:
+    """Insert a (collected) key delta into the shard map driver-side.
+
+    For per-round deltas small enough to collect (≲ a few million longs =
+    tens of MB) this replaces a repartition + mapInArrow + collect job
+    chain with one vectorized numpy pass — the distributed
+    ``build_bloom_shards`` path remains for bulk (re)builds at 10^10
+    scale.  Bit-identical to the distributed builder.
+    """
+    out = dict(shards)
+    if len(url_hashes) == 0:
+        return out
+    h = np.asarray(url_hashes, dtype=np.int64)
+    sids = np.mod(h, num_shards)
+    m = bits_per_shard
+    for sid in np.unique(sids):
+        sid = int(sid)
+        blob = out.get(sid)
+        bits = (
+            np.frombuffer(blob, dtype=np.uint8).copy()
+            if blob is not None
+            else np.zeros(m // 8 + 1, dtype=np.uint8)
+        )
+        sel = h[sids == sid]
+        for pos in _probe_positions(sel, m):
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        out[sid] = bits.tobytes()
+    return out
+
+
 def shards_to_dict(shards_df: DataFrame) -> dict[int, bytes]:
     """Collect shard blobs driver-side for broadcast (small: MBs/shard)."""
     return {r["shard_id"]: bytes(r["bits"]) for r in shards_df.collect()}
@@ -190,6 +225,7 @@ def or_shards(a: dict[int, bytes], b: dict[int, bytes]) -> dict[int, bytes]:
 __all__ = [
     "build_bloom_shards",
     "bloom_maybe_seen",
+    "bloom_insert_driver",
     "filter_new",
     "shards_to_dict",
     "or_shards",

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import urls as U
-from ..functions.html import parse_html_udf
+from ..functions.html import links_view, parse_html_udf, text_view
 from ..operators import politeness, robots, seen as seen_ops
 from ..sources.fetch import classify_fetch, fetch_synthetic
 from ..sources.snapshots import SnapshotStore
@@ -158,7 +158,7 @@ def _extract_links(ok_html: DataFrame, cfg: CrawlConfig) -> DataFrame:
         F.col("depth_limit"),
         F.col("domain_restriction"),
         F.coalesce(F.col("final_url"), F.col("url")).alias("base_url"),
-        F.posexplode(F.col("parsed.links")).alias("link_pos", "href"),
+        F.posexplode(links_view(F.col("spans"))).alias("link_pos", "href"),
     )
     # ONE fused Arrow pass: urljoin + urlparse + canonicalize
     resolved = links.withColumn(
@@ -276,16 +276,23 @@ def run_round(
     blocked = gated.filter(~F.col("robots_allowed")).drop("robots_allowed")
     allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
 
-    # -- fetch (closed world) + outcome routing -----------------------------
-    # fetched/ok_html fan out to documents, link extraction, metrics and
-    # four frontier-status branches — persist so the fetch join and the
-    # parse_html pandas UDF execute once per round
-    fetched = classify_fetch(fetch_synthetic(allowed, web_pages)).persist()
-    ok_html = (
-        fetched.filter(F.col("fetch_outcome") == "ok_html")
-        .withColumn("parsed", parse_html_udf(F.col("html")))
-        .persist()
+    # -- fetch (closed world) + parse, materialized ONCE --------------------
+    # fetched rows fan out to documents, link extraction, metrics and four
+    # frontier-status branches.  ONE eager DISK_ONLY checkpoint holds the
+    # round's fetch results + parsed spans: the fetch join runs once, the
+    # parse UDF runs once, and the heavy (html, spans) columns serialize
+    # once, off-heap.  (A deserialized in-memory persist of span-struct
+    # arrays bloats ~10× and gets evicted under load — the re-parse that
+    # follows was measured at >600 core-s per round at bench scale.)
+    # Non-HTML/error rows carry html=null ⇒ parse yields null spans.
+    from pyspark.storagelevel import StorageLevel
+
+    fetched = (
+        classify_fetch(fetch_synthetic(allowed, web_pages))
+        .withColumn("spans", parse_html_udf(F.col("html")))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
+    ok_html = fetched.filter(F.col("fetch_outcome") == "ok_html")
     ok_other = fetched.filter(F.col("fetch_outcome") == "ok_other")
     timeouts = fetched.filter(F.col("fetch_outcome") == "timeout")
     errors = fetched.filter(F.col("fetch_outcome") == "error")
@@ -297,8 +304,8 @@ def run_round(
         F.col("task_id"),
         F.col("depth"),
         F.lit(round_no).alias("round"),
-        F.col("parsed.spans").alias("spans"),
-        F.col("parsed.text").alias("text"),
+        F.col("spans"),
+        text_view(F.col("spans")).alias("text"),
         F.col("html"),
     )
 
@@ -341,9 +348,10 @@ def run_round(
     )
 
     # `fresh` is anti-joined vs seen AND vs batch_adds ⇒ disjoint; union
-    seen_final = seen_after_batch.unionByName(
+    seen_delta = batch_adds.unionByName(
         new_frontier.select("url_hash", F.col("canonical_url").alias("url"))
     )
+    seen_final = seen.unionByName(seen_delta)
 
     # -- frontier state update ----------------------------------------------
     def finish(df: DataFrame, status: str, bump_attempts: bool = False) -> DataFrame:
@@ -369,28 +377,38 @@ def run_round(
     )
 
     # -- metrics: per-partition lineage counts -------------------------------
-    def metric(df: DataFrame, node: str, event: str) -> DataFrame:
-        return (
-            df.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("task_id", "partition_id")
-            .agg(F.count("*").alias("count"), F.min("url").alias("url"))
-            .select(
-                F.lit(node).alias("node_type"),
-                F.lit(event).alias("event"),
-                "task_id",
-                "url",
-                "count",
-                "partition_id",
-                F.lit(round_no).alias("round"),
-            )
+    # ONE shuffle for all five event streams: tag each cached branch and
+    # aggregate the union in a single groupBy (five separate groupBys =
+    # five exchanges = five AQE sub-jobs per round of pure overhead)
+    def tagged(df: DataFrame, node: str, event: str) -> DataFrame:
+        return df.select(
+            F.lit(node).alias("node_type"),
+            F.lit(event).alias("event"),
+            "task_id",
+            "url",
+            F.spark_partition_id().alias("partition_id"),
         )
 
+    # urls_deferred / url_timeout_retryable let the driver detect
+    # termination from the (tiny, collected) metrics alone — no extra
+    # pending-scan job per round
+    retryable_timeouts = timeouts.filter(F.col("attempts") + 1 < cfg.max_attempts)
     metrics = (
-        metric(new_batch, "master", "urls_scheduled")
-        .unionByName(metric(ok_html, "crawler", "url_crawled"))
-        .unionByName(metric(blocked, "crawler", "url_skipped"))
-        .unionByName(metric(new_frontier, "crawler", "new_urls_found"))
-        .unionByName(metric(documents.withColumnRenamed("doc_id", "url"), "indexer", "url_indexed"))
+        tagged(new_batch, "master", "urls_scheduled")
+        .unionByName(tagged(ok_html, "crawler", "url_crawled"))
+        .unionByName(tagged(blocked, "crawler", "url_skipped"))
+        .unionByName(tagged(new_frontier, "crawler", "new_urls_found"))
+        .unionByName(tagged(deferred, "master", "urls_deferred"))
+        .unionByName(tagged(retryable_timeouts, "crawler", "url_timeout_retryable"))
+        .unionByName(
+            tagged(documents.withColumnRenamed("doc_id", "url"), "indexer", "url_indexed")
+        )
+        .groupBy("node_type", "event", "task_id", "partition_id")
+        .agg(F.count("*").alias("count"), F.min("url").alias("url"))
+        .select(
+            "node_type", "event", "task_id", "url", "count", "partition_id",
+            F.lit(round_no).alias("round"),
+        )
     )
 
     # keys added to seen this round — lets the driver update Bloom shards
@@ -403,11 +421,13 @@ def run_round(
     return {
         "frontier": frontier_after,
         "seen": seen_final,
+        "seen_delta": seen_delta,
         "robots": robots_after,
+        "robots_delta": fetched_rules,
         "documents": documents,
         "metrics": metrics,
         "new_seen_keys": new_seen_keys,
-        "_persisted": [windowed, new_batch, fetched, ok_html, fresh],
+        "_persisted": [windowed, new_batch, fresh],
     }
 
 
@@ -446,10 +466,19 @@ def run_crawl(
 
     documents = _empty(spark, DOCUMENTS_SCHEMA)
     metrics = _empty(spark, METRICS_SCHEMA)
+    # metrics rows are tiny per-task aggregates — in the no-store path
+    # they are collected driver-side (one small job per round) instead of
+    # checkpointed, and the driver derives the TERMINATION signal from
+    # them (deferred + retryable timeouts + new URLs == 0 ⇒ frontier
+    # drained) without an extra pending-scan job
+    metric_rows: list = []
+    robots_driver: list | None = None if resume or store is not None else []
     bloom: dict[int, bytes] | None = None
     retryable = (F.col("status") == "pending") | (
         (F.col("status") == "timeout") & (F.col("attempts") < cfg.max_attempts)
     )
+    _RETRYABLE_EVENTS = {"urls_deferred", "url_timeout_retryable", "new_urls_found"}
+    pending_known_empty = False
 
     # state tables are re-materialized every round; without an explicit
     # repartition the 9-branch frontier union COMPOUNDS partitions across
@@ -461,8 +490,16 @@ def run_crawl(
     n_buckets = spark.sparkContext.defaultParallelism
 
     for round_no in range(start_round, cfg.max_rounds):
-        if frontier.filter(retryable).limit(1).count() == 0:
+        if pending_known_empty:
             break
+        if robots_driver is None and (
+            frontier.filter(retryable).limit(1).count() == 0
+        ):
+            break
+        if robots_driver is not None and round_no == start_round:
+            # one initial check only; thereafter the metric counts decide
+            if frontier.filter(retryable).limit(1).count() == 0:
+                break
         if cfg.use_bloom and bloom is None:
             # full build only on entry (empty at fresh start; one pass on
             # resume) — thereafter updated incrementally from round deltas
@@ -481,12 +518,15 @@ def run_crawl(
             spark, round_no, frontier, seen, robots_rules,
             web_pages, robots_src, cfg, bloom,
         )
+        collected_keys = None
         out["frontier"] = out["frontier"].repartition(n_buckets, "url_hash")
-        out["seen"] = out["seen"].repartition(n_buckets, "url_hash")
         out["robots"] = out["robots"].coalesce(1)  # ≤ one row per host
         out["documents"] = out["documents"].coalesce(n_buckets)
         out["metrics"] = out["metrics"].coalesce(n_buckets)
         if store is not None:
+            # durable commits write the full seen state (an Iceberg state
+            # table); the bucketing keeps files/partitions bounded
+            out["seen"] = out["seen"].repartition(n_buckets, "url_hash")
             store.commit_round(
                 round_no,
                 {
@@ -504,21 +544,79 @@ def run_crawl(
             seen = store.read("seen")
             robots_rules = store.read("robots")
         else:
-            # no store: materialize via localCheckpoint to cut lineage growth
-            frontier = out["frontier"].localCheckpoint()
-            seen = out["seen"].localCheckpoint()
-            robots_rules = out["robots"].localCheckpoint()
-            documents = documents.unionByName(out["documents"].localCheckpoint())
-            metrics = metrics.unionByName(out["metrics"].localCheckpoint())
+            # no store: materialize via localCheckpoint to cut lineage
+            # growth.  DISK_ONLY keeps round history (esp. documents with
+            # full html) OFF the driver heap — deserialized in-memory
+            # checkpoints accumulate across rounds and trigger GC storms;
+            # "disk" is spark.local.dir (tmpfs here, local SSD on a real
+            # cluster), so reads stay fast.
+            from pyspark.storagelevel import StorageLevel
+
+            _ck = {"eager": True, "storageLevel": StorageLevel.DISK_ONLY}
+            # the frontier materialization executes the round's big DAG
+            # (fetch, parse, explode) and fills the persisted caches; the
+            # remaining materializations only read those caches and are
+            # mutually independent — submit them from driver THREADS so
+            # their per-job scheduling/planning latency overlaps (the
+            # driver round loop is the crawl's serial fraction; ~4 job
+            # latencies per round collapse into ~1)
+            from concurrent.futures import ThreadPoolExecutor
+
+            frontier = out["frontier"].localCheckpoint(**_ck)
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                f_seen = pool.submit(
+                    lambda: out["seen_delta"].localCheckpoint(**_ck)
+                )
+                f_robots = pool.submit(out["robots_delta"].collect)
+                f_metrics = pool.submit(out["metrics"].collect)
+                f_keys = (
+                    pool.submit(out["new_seen_keys"].collect)
+                    if cfg.use_bloom
+                    else None
+                )
+                seen_delta_ck = f_seen.result()
+                robots_delta_rows = f_robots.result()
+                round_rows = f_metrics.result()
+                collected_keys = f_keys.result() if f_keys is not None else None
+            # seen grows append-only: checkpoint only the round's DELTA and
+            # keep the full set as a lazy union of delta checkpoints —
+            # never rewrites crawl history.  Compact the union periodically
+            # so partition count stays bounded on long crawls.
+            seen = seen.unionByName(seen_delta_ck)
+            if (round_no + 1) % 8 == 0:
+                seen = seen.repartition(n_buckets, "url_hash").localCheckpoint(**_ck)
+            # documents is a narrow select over the round's fetched
+            # checkpoint (run_round materializes fetch+parse eagerly) —
+            # no second serialization pass needed
+            documents = documents.unionByName(out["documents"])
+            # robots rules: ≤ one small row per distinct host ever seen —
+            # maintained driver-side; the next round's gate joins against
+            # a local relation (trivial broadcast, no checkpoint job)
+            robots_driver.extend(
+                (r["host"], r["rules_txt"]) for r in robots_delta_rows
+            )
+            robots_rules = (
+                spark.createDataFrame(robots_driver, "host string, rules_txt string")
+                if robots_driver
+                else _empty(spark, "host string, rules_txt string")
+            )
+            metric_rows.extend(round_rows)
+            pending_known_empty = not any(
+                r["event"] in _RETRYABLE_EVENTS and r["count"] > 0
+                for r in round_rows
+            )
         if cfg.use_bloom and bloom is not None:
+            # per-round deltas are collectable (longs only); one numpy
+            # pass driver-side beats a repartition+mapInArrow+collect
+            # job chain.  Bulk rebuilds still use build_bloom_shards.
+            import numpy as _np
+
+            if collected_keys is None:
+                collected_keys = out["new_seen_keys"].collect()
+            keys = _np.array([r[0] for r in collected_keys], dtype=_np.int64)
             if cfg.filter_kind == "cuckoo":
                 from ..operators import cuckoo as ckf
-                import numpy as _np
 
-                keys = _np.array(
-                    [r["url_hash"] for r in out["new_seen_keys"].collect()],
-                    dtype=_np.int64,
-                )
                 by_shard = {
                     int(s): keys[_np.mod(keys, cfg.bloom_shards) == s]
                     for s in _np.unique(_np.mod(keys, cfg.bloom_shards))
@@ -527,10 +625,9 @@ def run_crawl(
                     bloom, by_shard, max(cfg.bloom_bits_per_shard // 64, 1024)
                 )
             else:
-                delta = seen_ops.build_bloom_shards(
-                    out["new_seen_keys"], cfg.bloom_shards, cfg.bloom_bits_per_shard
+                bloom = seen_ops.bloom_insert_driver(
+                    bloom, keys, cfg.bloom_shards, cfg.bloom_bits_per_shard
                 )
-                bloom = seen_ops.or_shards(bloom, seen_ops.shards_to_dict(delta))
         for df in out.get("_persisted", []):
             df.unpersist()
 
@@ -542,6 +639,8 @@ def run_crawl(
             "metrics": store.read("metrics"),
             "robots": store.read("robots"),
         }
+    if metric_rows:
+        metrics = spark.createDataFrame(metric_rows, METRICS_SCHEMA)
     return {
         "frontier": frontier,
         "seen": seen,

@@ -54,7 +54,7 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # shuffle/checkpoint scratch on tmpfs: this sandbox VM's ext4 root
         # has pathologically slow small-file metadata ops (measured 1.7×
         # end-to-end), and a real cluster would put spark.local.dir on

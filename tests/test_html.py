@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from distributed_web_crawling_and_indexing_system_gcp_spark.functions.html import (
+    links_view,
     parse_html_one,
     parse_html_udf,
     text_view,
@@ -23,8 +24,8 @@ HTML = """<html><head><title>T1</title></head><body>
 
 
 def test_span_interleave_order():
-    r = parse_html_one(HTML)
-    kinds = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+    spans = parse_html_one(HTML)
+    kinds = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
     assert kinds == [
         ("text", "T1", None),
         ("text", "Header & more", None),  # entity decoded
@@ -38,24 +39,25 @@ def test_span_interleave_order():
         ("link", None, "http://h.test/y#f"),
         ("text", "second", None),
     ]
-    assert [s["offset"] for s in r["spans"]] == list(range(len(r["spans"])))
-    assert r["links"] == ["/x", "http://h.test/y#f"]
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
 
 
 def test_text_equals_joined_stripped_strings():
-    r = parse_html_one(HTML)
-    assert r["text"] == "T1 Header & more para one anchor text para two tail second"
+    spans = parse_html_one(HTML)
+    text = " ".join(s["text"] for s in spans if s["kind"] == "text")
+    assert text == "T1 Header & more para one anchor text para two tail second"
 
 
-def test_udf_and_text_view(spark):
+def test_udf_text_and_links_views(spark):
     df = spark.createDataFrame([("d1", HTML)], "doc_id string, html string")
-    parsed = df.withColumn("p", parse_html_udf("html"))
+    parsed = df.withColumn("spans", parse_html_udf("html"))
     row = parsed.select(
-        F.col("p.text").alias("t"),
-        text_view(F.col("p.spans")).alias("tv"),
-        F.size("p.spans").alias("n"),
+        text_view(F.col("spans")).alias("tv"),
+        links_view(F.col("spans")).alias("lv"),
+        F.size("spans").alias("n"),
     ).collect()[0]
-    assert row["t"] == row["tv"]
+    assert row["tv"] == "T1 Header & more para one anchor text para two tail second"
+    assert row["lv"] == ["/x", "http://h.test/y#f"]
     assert row["n"] == 11
 
 
@@ -63,7 +65,9 @@ def test_empty_and_null(spark):
     df = spark.createDataFrame(
         [("a", "<html></html>"), ("b", None)], "doc_id string, html string"
     )
-    rows = df.withColumn("p", parse_html_udf("html")).select("doc_id", "p.*").collect()
+    rows = df.withColumn("spans", parse_html_udf("html")).select(
+        "doc_id", "spans", text_view(F.col("spans")).alias("text")
+    ).collect()
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id["a"]["spans"] == []
     assert by_id["a"]["text"] == ""

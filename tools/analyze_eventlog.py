@@ -16,6 +16,10 @@ def main():
     jobs = []
     task_time = collections.Counter()
     gc_time = collections.Counter()
+    cpu_time = collections.Counter()
+    ser_time = collections.Counter()
+    fetch_wait = collections.Counter()
+    write_time = collections.Counter()
     for line in open(path):
         try:
             e = json.loads(line)
@@ -44,6 +48,12 @@ def main():
             sid = e["Stage ID"]
             task_time[sid] += m.get("Executor Run Time", 0)
             gc_time[sid] += m.get("JVM GC Time", 0)
+            cpu_time[sid] += m.get("Executor CPU Time", 0) / 1e6  # ns->ms
+            ser_time[sid] += m.get("Executor Deserialize Time", 0)
+            srm = m.get("Shuffle Read Metrics") or {}
+            fetch_wait[sid] += srm.get("Fetch Wait Time", 0)
+            swm = m.get("Shuffle Write Metrics") or {}
+            write_time[sid] += swm.get("Shuffle Write Time", 0) / 1e6
     tmin = min(j["t0"] for j in jobs)
     tmax = max(j.get("t1", j["t0"]) for j in jobs)
     print(f"jobs={len(jobs)} stages={len(stages)} wall={(tmax-tmin)/1000:.0f}s")
@@ -59,7 +69,12 @@ def main():
     print("stage wall-time by name (task-run-time):")
     for n, d in byname.most_common(16):
         print(f"  {d:8.1f}s (run {run[n]:7.1f}s) x{cnt[n]:4d} stages {tasks[n]:6d} tasks  {n}")
-    print(f"total gc: {sum(gc_time.values())/1000:.1f}s")
+    print(f"total gc: {sum(gc_time.values())/1000:.1f}s  "
+          f"run: {sum(task_time.values())/1000:.1f}s  "
+          f"cpu: {sum(cpu_time.values())/1000:.1f}s  "
+          f"deser: {sum(ser_time.values())/1000:.1f}s  "
+          f"fetchwait: {sum(fetch_wait.values())/1000:.1f}s  "
+          f"shufwrite: {sum(write_time.values())/1000:.1f}s")
     iv = sorted((s["sub"], s["comp"]) for s in stages.values() if s["sub"])
     cov = 0
     cur = None

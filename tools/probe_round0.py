@@ -60,7 +60,7 @@ def main():
     print("  fetched partitions:", fetched.rdd.getNumPartitions())
 
     ok_html = fetched.filter(F.col("fetch_outcome") == "ok_html").withColumn(
-        "parsed", parse_html_udf(F.col("html"))
+        "spans", parse_html_udf(F.col("html"))
     ).persist()
     t("parse_html", ok_html.count)
 

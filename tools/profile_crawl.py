@@ -92,22 +92,28 @@ def main():
             spark, round_no, frontier, seen, robots_rules, web, robots_src, cfg, bloom
         )
         nb = spark.sparkContext.defaultParallelism
+        from pyspark.storagelevel import StorageLevel
+        _ck = {"eager": True, "storageLevel": StorageLevel.DISK_ONLY}
         with timed(f"r{round_no}:ckpt_frontier"):
-            frontier = out["frontier"].repartition(nb, "url_hash").localCheckpoint()
+            frontier = out["frontier"].repartition(nb, "url_hash").localCheckpoint(**_ck)
         with timed(f"r{round_no}:ckpt_seen"):
-            seen = out["seen"].repartition(nb, "url_hash").localCheckpoint()
+            seen = seen.unionByName(out["seen_delta"].localCheckpoint(**_ck))
+            if (round_no + 1) % 8 == 0:
+                seen = seen.repartition(nb, "url_hash").localCheckpoint(**_ck)
         with timed(f"r{round_no}:ckpt_robots"):
-            robots_rules = out["robots"].coalesce(1).localCheckpoint()
+            robots_rules = out["robots"].coalesce(1).localCheckpoint(**_ck)
         with timed(f"r{round_no}:ckpt_documents"):
-            d = out["documents"].coalesce(nb).localCheckpoint()
+            d = out["documents"].coalesce(nb).localCheckpoint(**_ck)
             documents = d if documents is None else documents.unionByName(d)
         with timed(f"r{round_no}:ckpt_metrics"):
-            out["metrics"].coalesce(nb).localCheckpoint()
+            out["metrics"].coalesce(nb).localCheckpoint(**_ck)
         with timed(f"r{round_no}:bloom_delta"):
-            delta = seen_ops.build_bloom_shards(
-                out["new_seen_keys"], cfg.bloom_shards, cfg.bloom_bits_per_shard
+            import numpy as np
+            keys = np.array([r[0] for r in out["new_seen_keys"].collect()],
+                            dtype=np.int64)
+            bloom = seen_ops.bloom_insert_driver(
+                bloom, keys, cfg.bloom_shards, cfg.bloom_bits_per_shard
             )
-            bloom = seen_ops.or_shards(bloom, seen_ops.shards_to_dict(delta))
         for df in out.get("_persisted", []):
             df.unpersist()
         TIMES[f"r{round_no}:TOTAL"] = time.perf_counter() - r0
