@@ -31,6 +31,10 @@ from distributed_web_crawling_and_indexing_system_gcp_spark.operators import (
     politeness as PL,
     search as SE,
     similarity as SIM,
+    tasks as TK,
+)
+from distributed_web_crawling_and_indexing_system_gcp_spark.operators.topk import (
+    topk_ranked,
 )
 
 # ---------------------------------------------------------------------------
@@ -185,12 +189,9 @@ def _q_politeness_window(spark, sf_dir):
 def _q_oldest_eviction(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     last = ev.groupBy("user_id").agg(F.max("ts").alias("last_update"))
-    w = Window.orderBy(F.col("last_update").desc(), F.col("user_id").asc())
-    return (
-        last.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("user_id", "last_update", "rn")
-    )
+    return topk_ranked(
+        last, [F.col("last_update").desc(), F.col("user_id").asc()], 20, "rn"
+    ).select("user_id", "last_update", "rn")
 
 
 def _q_export_page(spark, sf_dir):
@@ -405,6 +406,55 @@ def _q_search_topk(spark, sf_dir):
     )
 
 
+def _q_search_snippets(spark, sf_dir):
+    # reference UI result shape {url, title, snippet} (UI/main.py:567-579)
+    d = _t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    p = _q_postings(spark, sf_dir)
+    topk = SE.search_topk(p, ["spark", "window", "merge"], k=10)
+    out = SE.search_snippets(topk, d, ["spark", "window", "merge"])
+    return out.select(
+        "url", "title", "snippet", F.col("score").cast("long").alias("score"), "rank"
+    )
+
+
+def _q_url_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(_url_col().alias("url"))
+    return SE.url_search(d, "rc1", limit=20)
+
+
+def _q_stall_detect(spark, sf_dir):
+    # task table synthesized from events: one task per user, status cycles
+    # through the reference's four states; fixed `now` keeps it deterministic
+    ev = _t(spark, sf_dir, "events")
+    states = F.array(
+        F.lit("submitted"), F.lit("in_progress"), F.lit("completed"), F.lit("failed")
+    )
+    tasks = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_update"))
+        .select(
+            F.col("user_id").alias("task_id"),
+            F.element_at(states, (F.pmod(F.col("user_id"), 4) + 1).cast("int")).alias(
+                "status"
+            ),
+            "last_update",
+        )
+    )
+    now = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    out = TK.stall_detect(tasks, now)
+    return out.select("task_id", "status", "age_sec", "new_status", "warning", "error")
+
+
+def _q_dedup_keep_latest(spark, sf_dir):
+    # ~7 doc versions share a page key; last-write-wins keeps max doc_id
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "page_key",
+        F.concat(F.col("source"), F.lit("/"), F.floor(F.col("doc_id") / 7).cast("string")),
+    )
+    kept = DD.keep_latest(d, ["page_key"], "doc_id")
+    return kept.select("page_key", "doc_id", "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup family
 # ---------------------------------------------------------------------------
@@ -488,12 +538,9 @@ def _q_ann_bruteforce(spark, sf_dir):
             6,
         ).alias("cosine"),
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("id", "cosine", "rank")
-    )
+    return topk_ranked(
+        scored, [F.col("cosine").desc(), F.col("id").asc()], 10
+    ).select("id", "cosine", "rank")
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -507,12 +554,9 @@ def _q_ann_ivf(spark, sf_dir):
             6,
         ).alias("cosine"),
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("id", "cosine", "rank")
-    )
+    return topk_ranked(
+        scored, [F.col("cosine").desc(), F.col("id").asc()], 10
+    ).select("id", "cosine", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -603,8 +647,9 @@ def _q_top_revenue(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return topk_ranked(
+        rev, [F.col("revenue").desc(), F.col("c_custkey").asc()], 10
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -639,6 +684,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "term_stats": _q_term_stats,
         "search_topk": _q_search_topk,
+        "search_snippets": _q_search_snippets,
+        "url_search": _q_url_search,
+        "stall_detect": _q_stall_detect,
+        "dedup_keep_latest": _q_dedup_keep_latest,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -760,12 +809,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "task_summary": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS crawled,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS indexed,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS crawled,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS indexed,
                    max(ts) AS last_update,
                    string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS events_sig,
-                   least(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
-                         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS indexed_clamped
+                   CAST(least(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END),
+                              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)) AS BIGINT) AS indexed_clamped
             FROM events GROUP BY user_id
         """,
         "health_lastseen": """
@@ -820,8 +869,8 @@ def oracle_sql() -> dict[str, str]:
                          CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s
                   FROM g),
             s AS (SELECT user_id, ts,
-                         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
                   FROM f)
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
@@ -868,12 +917,71 @@ def oracle_sql() -> dict[str, str]:
             {toks_cte},
             p AS (SELECT tok AS term, doc_id AS doc, count(*) AS tf
                   FROM (SELECT doc_id, unnest(l) AS tok FROM tok) GROUP BY 1, 2),
-            s AS (SELECT doc, sum(tf) AS score FROM p
+            s AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS score FROM p
                   WHERE term IN ('spark', 'window', 'merge') GROUP BY doc),
             r AS (SELECT doc, score,
                          row_number() OVER (ORDER BY score DESC, doc ASC) AS rn
                   FROM s)
             SELECT doc, score, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10
+        """,
+        "search_snippets": f"""
+            {toks_cte},
+            p AS (SELECT tok AS term, doc_id AS doc, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(l) AS tok FROM tok) GROUP BY 1, 2),
+            s AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS score FROM p
+                  WHERE term IN ('spark', 'window', 'merge') GROUP BY doc),
+            r AS (SELECT doc, score,
+                         row_number() OVER (ORDER BY score DESC, doc ASC) AS rn
+                  FROM s),
+            hit AS (SELECT doc, score, CAST(rn AS INTEGER) AS rank
+                    FROM r WHERE rn <= 10),
+            j AS (SELECT {_URL_SQL} AS url, {_NORM_SQL} AS t, hit.score, hit.rank
+                  FROM documents JOIN hit ON documents.doc_id = hit.doc),
+            pos AS (SELECT url, t, score, rank,
+                           coalesce(nullif(strpos(t, 'spark'), 0),
+                                    nullif(strpos(t, 'window'), 0),
+                                    nullif(strpos(t, 'merge'), 0), 0) AS p
+                    FROM j)
+            SELECT url,
+                   CASE WHEN regexp_extract(url, '([^/]*)$', 1) = '' THEN url
+                        ELSE regexp_extract(url, '([^/]*)$', 1) END AS title,
+                   CASE WHEN p > 0 THEN substr(t, greatest(p - 30, 1), 61)
+                        ELSE 'No preview available' END AS snippet,
+                   score, rank
+            FROM pos
+        """,
+        "url_search": f"""
+            WITH u AS (SELECT {_URL_SQL} AS url FROM documents)
+            SELECT url FROM u WHERE url LIKE '%rc1%' ORDER BY url LIMIT 20
+        """,
+        "stall_detect": """
+            WITH t AS (SELECT user_id AS task_id,
+                              ['submitted','in_progress','completed','failed'][CAST(user_id % 4 AS INTEGER) + 1] AS status,
+                              max(ts) AS last_update
+                       FROM events GROUP BY user_id),
+            a AS (SELECT task_id, status,
+                         CAST(floor(epoch(TIMESTAMP '2024-01-03 00:00:00')) - floor(epoch(last_update)) AS BIGINT) AS age_sec
+                  FROM t)
+            SELECT task_id, status, age_sec,
+                   CASE WHEN status IN ('completed', 'failed') THEN status
+                        WHEN status = 'submitted' AND age_sec > 120 THEN 'failed'
+                        WHEN status = 'in_progress' AND age_sec > 600 THEN 'failed'
+                        ELSE status END AS new_status,
+                   CASE WHEN status = 'in_progress' AND age_sec > 180 AND age_sec <= 600
+                        THEN 'slow_progress' END AS warning,
+                   CASE WHEN status = 'submitted' AND age_sec > 120
+                        THEN 'Task appears to be stalled in submitted state (no updates for 2+ minutes)'
+                        WHEN status = 'in_progress' AND age_sec > 600
+                        THEN 'Task appears to be stalled (no updates for 10+ minutes)' END AS error
+            FROM a
+        """,
+        "dedup_keep_latest": """
+            WITH v AS (SELECT concat(source, '/', CAST(doc_id // 7 AS VARCHAR)) AS page_key,
+                              doc_id, n_chars
+                       FROM documents),
+            r AS (SELECT *, row_number() OVER (PARTITION BY page_key ORDER BY doc_id DESC) AS rn
+                  FROM v)
+            SELECT page_key, doc_id, n_chars FROM r WHERE rn = 1
         """,
         "dedup_exact": f"""
             WITH f AS (SELECT doc_id, md5(substr({_NORM_SQL}, 1, 16)) AS fp FROM documents)
@@ -883,9 +991,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             {_SHINGLE_CTE},
-            sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+            shc AS (SELECT doc, shingle FROM sh
+                    WHERE shingle IN (SELECT shingle FROM sh
+                                      GROUP BY shingle HAVING count(*) <= 1024)),
+            sz AS (SELECT doc, count(*) AS n FROM shc GROUP BY doc),
             c AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS nc
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
                   GROUP BY 1, 2)
             SELECT doc_a, doc_b,
                    round(nc * 1.0 / (x.n + y.n - nc), 6) AS jaccard

@@ -64,12 +64,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1024,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with shingle-Jaccard ≥ threshold.
 
     Join is blocked on the shingle key: only docs sharing ≥1 shingle meet.
-    ``max_shingle_df`` drops ubiquitous shingles before pairing (skew cap).
+    ``max_shingle_df`` drops ubiquitous shingles before pairing (skew cap):
+    a stop-shingle shared by most docs would make its join bucket quadratic
+    (df² candidate pairs), so it is ON by default — a shingle in ≤1024 docs
+    bounds any bucket at ~0.5M pairs regardless of corpus size.  The cap
+    also removes capped shingles from the per-doc set size, i.e. Jaccard is
+    computed over the skew-filtered shingle universe (mirrored exactly in
+    the DuckDB oracle).  Pass ``None`` for exact all-shingle semantics on
+    small inputs.
     """
     sh = _shingle_rows(df, id_col, text_col, k)
     if max_shingle_df is not None:
@@ -239,8 +246,37 @@ def embedding_near_dup_pairs(
     )
 
 
+def keep_latest(
+    df: DataFrame, key_cols: list[str], order_col: str, tiebreak_col: str | None = None
+) -> DataFrame:
+    """Last-write-wins upsert semantics as a batch operator: one surviving
+    row per ``key_cols``, the one with the highest ``order_col``
+    (``tiebreak_col`` desc breaks exact ties deterministically).
+
+    This is the reference indexer's ES upsert keyed by URL
+    (/root/reference/src/indexer/indexer_node.py:145-156) re-expressed for
+    an append-only document log: re-crawling a page appends a new row and
+    this operator collapses the history to the latest version.
+
+    Scale: a window partitioned by the key — one hash shuffle on the key,
+    no global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 __all__ = [
     "exact_dup_groups",
+    "keep_latest",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_candidates",

@@ -21,10 +21,11 @@ scan, not a full pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_text, ws_tokens
+from .topk import topk_ranked
 
 
 def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -62,11 +63,7 @@ def search_topk(
     else:
         hits = hits.withColumn("w", F.col("tf").cast("double"))
     scored = hits.groupBy("doc").agg(F.sum("w").alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return topk_ranked(scored, [F.col("score").desc(), F.col("doc").asc()], k)
 
 
 def save_postings_partitioned(
@@ -108,6 +105,49 @@ def search_partitioned(
     return search_topk(postings.drop("term_bucket"), query_terms, k, n_docs)
 
 
+def search_snippets(
+    topk: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    window_chars: int = 30,
+) -> DataFrame:
+    """Shapes search hits as the reference UI does (UI/main.py:567-579):
+    ``{url, title, snippet}`` — title is the last path segment of the URL
+    (falling back to the whole URL when the path ends in '/'), snippet is a
+    ±``window_chars`` window around the first query-term occurrence in the
+    normalized text ('No preview available' when no term literally occurs,
+    mirroring the reference's missing-highlight fallback).
+
+    Scale: the top-k side is ≤k rows → broadcast it; the documents scan
+    prunes to (id, text, url) columns and the join never shuffles docs.
+    """
+    t = norm_text(F.col(text_col))
+    # 1-based position of the first term that occurs; 0 → no literal hit
+    pos = F.lit(0)
+    for term in query_terms:
+        hit = F.locate(term, t)
+        pos = F.when(pos > 0, pos).otherwise(hit)
+    start = F.greatest(pos - window_chars, F.lit(1))
+    snippet = F.when(
+        pos > 0, F.substring(t, start, window_chars * 2 + 1)
+    ).otherwise(F.lit("No preview available"))
+    last_seg = F.regexp_extract(F.col(url_col), r"([^/]*)$", 1)
+    title = F.when(last_seg == "", F.col(url_col)).otherwise(last_seg)
+    hits = docs.join(
+        F.broadcast(topk), docs[id_col] == topk["doc"]
+    )
+    return hits.select(
+        F.col(url_col).alias("url"),
+        title.alias("title"),
+        snippet.alias("snippet"),
+        F.col("score"),
+        F.col("rank"),
+    )
+
+
 def url_search(seen: DataFrame, q: str, limit: int = 20) -> DataFrame:
     """Substring URL search (the honest implementation of the reference's
     mocked /search/urls endpoint)."""
@@ -125,4 +165,10 @@ def export_page(df: DataFrame, sort_col: str, offset: int, size: int) -> DataFra
     return df.orderBy(F.col(sort_col).asc()).offset(offset).limit(size)
 
 
-__all__ = ["build_postings", "search_topk", "url_search", "export_page"]
+__all__ = [
+    "build_postings",
+    "search_topk",
+    "search_snippets",
+    "url_search",
+    "export_page",
+]

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import cosine_expr
+from .topk import topk_ranked
 
 
 def _query_vec_lit(qvec: list[float]):
@@ -42,14 +43,9 @@ def cosine_topk(
         F.col(id_col).alias("id"),
         cosine_expr(F.col(vec_col), _query_vec_lit(qvec)).alias("cosine"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("id", "cosine", "rank")
-    )
+    return topk_ranked(
+        scored, [F.col("cosine").desc(), F.col("id").asc()], k
+    ).select("id", "cosine", "rank")
 
 
 def bucketed_topk(

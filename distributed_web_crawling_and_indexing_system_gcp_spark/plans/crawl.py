@@ -90,6 +90,16 @@ class CrawlConfig:
     use_bloom: bool = True
     filter_kind: str = "bloom"  # "bloom" | "cuckoo" (deletable fallback)
     max_rounds: int = 64
+    # per-round seen-delta sizes up to this collect driver-side for the
+    # numpy Bloom insert; above it the distributed build_bloom_shards +
+    # or_shards path runs instead (a breadth-y round at 10^10-URL scale
+    # can add billions of keys — collecting those would OOM the driver)
+    bloom_delta_collect_max: int = 2_000_000
+    # distinct-host count up to which robots rules accumulate in a driver
+    # list (re-broadcast each round); above it the rules stay a
+    # checkpointed DataFrame (10^7+ hosts × multi-KB rules_txt would
+    # otherwise be rebuilt and re-serialized from the driver every round)
+    robots_driver_max: int = 100_000
     extra: dict = field(default_factory=dict)
 
 
@@ -287,9 +297,17 @@ def run_round(
     # Non-HTML/error rows carry html=null ⇒ parse yields null spans.
     from pyspark.storagelevel import StorageLevel
 
+    # parse a MASKED column: only ok_html bodies reach the HTML parser —
+    # with a production fetcher, non-HTML 2xx bodies (PDFs etc.) are
+    # non-null and would otherwise burn parser time in the hottest stage
     fetched = (
         classify_fetch(fetch_synthetic(allowed, web_pages))
-        .withColumn("spans", parse_html_udf(F.col("html")))
+        .withColumn(
+            "spans",
+            parse_html_udf(
+                F.when(F.col("fetch_outcome") == "ok_html", F.col("html"))
+            ),
+        )
         .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     ok_html = fetched.filter(F.col("fetch_outcome") == "ok_html")
@@ -411,13 +429,8 @@ def run_round(
         )
     )
 
-    # keys added to seen this round — lets the driver update Bloom shards
-    # incrementally (build over the delta, bitwise-OR into the shard map)
-    # instead of re-hashing the whole seen set every round
-    new_seen_keys = new_batch.select("url_hash").unionByName(
-        new_frontier.select("url_hash")
-    )
-
+    # Bloom maintenance keys come from seen_delta (exactly the keys by
+    # which `seen` grows — the shard map tracks `seen` bit-for-bit)
     return {
         "frontier": frontier_after,
         "seen": seen_final,
@@ -426,9 +439,52 @@ def run_round(
         "robots_delta": fetched_rules,
         "documents": documents,
         "metrics": metrics,
-        "new_seen_keys": new_seen_keys,
         "_persisted": [windowed, new_batch, fresh],
     }
+
+
+def _update_bloom(
+    bloom: dict[int, bytes],
+    delta_df: DataFrame,
+    n_delta: int,
+    cfg: CrawlConfig,
+) -> dict[int, bytes]:
+    """Insert a round's seen-delta keys into the shard map.
+
+    Small deltas (≤ ``cfg.bloom_delta_collect_max`` keys) collect to the
+    driver for one vectorized numpy pass.  Larger deltas run the
+    distributed ``build_bloom_shards`` over the delta and bitwise-OR the
+    resulting shard blobs into the map (``or_shards``) — a breadth-y round
+    at 10^10-URL scale adds billions of keys, which must never transit the
+    driver.  Both paths are bit-identical (asserted by
+    tests/test_seen.py::test_bloom_delta_paths_identical).
+    """
+    import numpy as _np
+
+    if cfg.filter_kind == "cuckoo":
+        from ..operators import cuckoo as ckf
+
+        keys = _np.array(
+            [r[0] for r in delta_df.select("url_hash").collect()], dtype=_np.int64
+        )
+        by_shard = {
+            int(s): keys[_np.mod(keys, cfg.bloom_shards) == s]
+            for s in _np.unique(_np.mod(keys, cfg.bloom_shards))
+        }
+        return ckf.merge_shards(
+            bloom, by_shard, max(cfg.bloom_bits_per_shard // 64, 1024)
+        )
+    if n_delta <= cfg.bloom_delta_collect_max:
+        keys = _np.array(
+            [r[0] for r in delta_df.select("url_hash").collect()], dtype=_np.int64
+        )
+        return seen_ops.bloom_insert_driver(
+            bloom, keys, cfg.bloom_shards, cfg.bloom_bits_per_shard
+        )
+    shards_df = seen_ops.build_bloom_shards(
+        delta_df, cfg.bloom_shards, cfg.bloom_bits_per_shard
+    )
+    return seen_ops.or_shards(bloom, seen_ops.shards_to_dict(shards_df))
 
 
 def run_crawl(
@@ -472,7 +528,8 @@ def run_crawl(
     # them (deferred + retryable timeouts + new URLs == 0 ⇒ frontier
     # drained) without an extra pending-scan job
     metric_rows: list = []
-    robots_driver: list | None = None if resume or store is not None else []
+    driver_mode = store is None and not resume
+    robots_driver: list | None = [] if driver_mode else None
     bloom: dict[int, bytes] | None = None
     retryable = (F.col("status") == "pending") | (
         (F.col("status") == "timeout") & (F.col("attempts") < cfg.max_attempts)
@@ -492,11 +549,11 @@ def run_crawl(
     for round_no in range(start_round, cfg.max_rounds):
         if pending_known_empty:
             break
-        if robots_driver is None and (
+        if not driver_mode and (
             frontier.filter(retryable).limit(1).count() == 0
         ):
             break
-        if robots_driver is not None and round_no == start_round:
+        if driver_mode and round_no == start_round:
             # one initial check only; thereafter the metric counts decide
             if frontier.filter(retryable).limit(1).count() == 0:
                 break
@@ -518,14 +575,13 @@ def run_crawl(
             spark, round_no, frontier, seen, robots_rules,
             web_pages, robots_src, cfg, bloom,
         )
-        collected_keys = None
-        out["frontier"] = out["frontier"].repartition(n_buckets, "url_hash")
-        out["robots"] = out["robots"].coalesce(1)  # ≤ one row per host
         out["documents"] = out["documents"].coalesce(n_buckets)
-        out["metrics"] = out["metrics"].coalesce(n_buckets)
         if store is not None:
             # durable commits write the full seen state (an Iceberg state
             # table); the bucketing keeps files/partitions bounded
+            out["frontier"] = out["frontier"].repartition(n_buckets, "url_hash")
+            out["robots"] = out["robots"].coalesce(1)  # ≤ one row per host
+            out["metrics"] = out["metrics"].coalesce(n_buckets)
             out["seen"] = out["seen"].repartition(n_buckets, "url_hash")
             store.commit_round(
                 round_no,
@@ -548,40 +604,65 @@ def run_crawl(
             # growth.  DISK_ONLY keeps round history (esp. documents with
             # full html) OFF the driver heap — deserialized in-memory
             # checkpoints accumulate across rounds and trigger GC storms;
-            # "disk" is spark.local.dir (tmpfs here, local SSD on a real
-            # cluster), so reads stay fast.
+            # "disk" is spark.local.dir (tmpfs-if-roomy here, local SSD on
+            # a real cluster), so reads stay fast.
+            #
+            # The driver round loop is the crawl's serial (Amdahl) fraction
+            # — every Spark ACTION costs planning + per-stage scheduling
+            # latency that no executor count amortizes.  So the round's
+            # four state products (frontier, seen delta, metrics, robots
+            # delta) materialize in ONE union-tagged checkpoint (schemas
+            # padded with nulls via allowMissingColumns) and split back out
+            # as narrow filters OVER the checkpoint; the tiny metrics +
+            # robots rows then come back in ONE collect.  2 jobs/round
+            # instead of 5.
             from pyspark.storagelevel import StorageLevel
 
             _ck = {"eager": True, "storageLevel": StorageLevel.DISK_ONLY}
-            # the frontier materialization executes the round's big DAG
-            # (fetch, parse, explode) and fills the persisted caches; the
-            # remaining materializations only read those caches and are
-            # mutually independent — submit them from driver THREADS so
-            # their per-job scheduling/planning latency overlaps (the
-            # driver round loop is the crawl's serial fraction; ~4 job
-            # latencies per round collapse into ~1)
-            from concurrent.futures import ThreadPoolExecutor
-
-            frontier = out["frontier"].localCheckpoint(**_ck)
-            with ThreadPoolExecutor(max_workers=4) as pool:
-                f_seen = pool.submit(
-                    lambda: out["seen_delta"].localCheckpoint(**_ck)
+            tagged = (
+                out["frontier"]
+                .withColumn("_tbl", F.lit("frontier"))
+                .unionByName(
+                    out["seen_delta"].withColumn("_tbl", F.lit("seen")),
+                    allowMissingColumns=True,
                 )
-                f_robots = pool.submit(out["robots_delta"].collect)
-                f_metrics = pool.submit(out["metrics"].collect)
-                f_keys = (
-                    pool.submit(out["new_seen_keys"].collect)
-                    if cfg.use_bloom
-                    else None
+                .unionByName(
+                    out["metrics"].withColumn("_tbl", F.lit("metrics")),
+                    allowMissingColumns=True,
                 )
-                seen_delta_ck = f_seen.result()
-                robots_delta_rows = f_robots.result()
-                round_rows = f_metrics.result()
-                collected_keys = f_keys.result() if f_keys is not None else None
-            # seen grows append-only: checkpoint only the round's DELTA and
-            # keep the full set as a lazy union of delta checkpoints —
-            # never rewrites crawl history.  Compact the union periodically
-            # so partition count stays bounded on long crawls.
+                .unionByName(
+                    out["robots_delta"].withColumn("_tbl", F.lit("robots")),
+                    allowMissingColumns=True,
+                )
+            )
+            state_ck = tagged.repartition(n_buckets, "url_hash").localCheckpoint(
+                **_ck
+            )
+            frontier = state_ck.filter(F.col("_tbl") == "frontier").select(
+                [f.name for f in FRONTIER_SCHEMA.fields]
+            )
+            seen_delta_ck = state_ck.filter(F.col("_tbl") == "seen").select(
+                "url_hash", "url"
+            )
+            small_rows = (
+                state_ck.filter(F.col("_tbl").isin("metrics", "robots"))
+                .select(
+                    "_tbl", "node_type", "event", "task_id", "url", "count",
+                    "partition_id", "round", "host", "rules_txt",
+                )
+                .collect()
+            )
+            round_rows = [
+                (r["node_type"], r["event"], r["task_id"], r["url"],
+                 r["count"], r["partition_id"], r["round"])
+                for r in small_rows
+                if r["_tbl"] == "metrics"
+            ]
+            robots_delta_rows = [r for r in small_rows if r["_tbl"] == "robots"]
+            # seen grows append-only: the round DELTA is a narrow slice of
+            # the state checkpoint and the full set stays a lazy union of
+            # those slices — never rewrites crawl history.  Compact
+            # periodically so partition count stays bounded on long crawls.
             seen = seen.unionByName(seen_delta_ck)
             if (round_no + 1) % 8 == 0:
                 seen = seen.repartition(n_buckets, "url_hash").localCheckpoint(**_ck)
@@ -589,45 +670,56 @@ def run_crawl(
             # checkpoint (run_round materializes fetch+parse eagerly) —
             # no second serialization pass needed
             documents = documents.unionByName(out["documents"])
-            # robots rules: ≤ one small row per distinct host ever seen —
-            # maintained driver-side; the next round's gate joins against
-            # a local relation (trivial broadcast, no checkpoint job)
-            robots_driver.extend(
-                (r["host"], r["rules_txt"]) for r in robots_delta_rows
-            )
-            robots_rules = (
-                spark.createDataFrame(robots_driver, "host string, rules_txt string")
-                if robots_driver
-                else _empty(spark, "host string, rules_txt string")
-            )
+            # robots rules: one small row per distinct host ever seen —
+            # driver-side while the host count is bounded (gate joins a
+            # local relation, no checkpoint job); beyond
+            # cfg.robots_driver_max hosts the rules stay a DataFrame of
+            # checkpointed deltas (10^7 hosts × KB rules never transit the
+            # driver)
+            if robots_driver is not None:
+                robots_driver.extend(
+                    (r["host"], r["rules_txt"]) for r in robots_delta_rows
+                )
+                robots_rules = (
+                    spark.createDataFrame(
+                        robots_driver, "host string, rules_txt string"
+                    )
+                    if robots_driver
+                    else _empty(spark, "host string, rules_txt string")
+                )
+                if len(robots_driver) > cfg.robots_driver_max:
+                    # seed the DataFrame path with the accumulated rules,
+                    # then stop routing rules through the driver
+                    robots_rules = robots_rules.localCheckpoint(**_ck)
+                    robots_driver = None
+            else:
+                robots_rules = robots_rules.unionByName(
+                    state_ck.filter(F.col("_tbl") == "robots").select(
+                        "host", "rules_txt"
+                    )
+                )
+                if (round_no + 1) % 8 == 0:
+                    robots_rules = robots_rules.coalesce(1).localCheckpoint(**_ck)
             metric_rows.extend(round_rows)
             pending_known_empty = not any(
-                r["event"] in _RETRYABLE_EVENTS and r["count"] > 0
-                for r in round_rows
+                event in _RETRYABLE_EVENTS and count > 0
+                for (_, event, _, _, count, _, _) in round_rows
             )
-        if cfg.use_bloom and bloom is not None:
-            # per-round deltas are collectable (longs only); one numpy
-            # pass driver-side beats a repartition+mapInArrow+collect
-            # job chain.  Bulk rebuilds still use build_bloom_shards.
-            import numpy as _np
-
-            if collected_keys is None:
-                collected_keys = out["new_seen_keys"].collect()
-            keys = _np.array([r[0] for r in collected_keys], dtype=_np.int64)
-            if cfg.filter_kind == "cuckoo":
-                from ..operators import cuckoo as ckf
-
-                by_shard = {
-                    int(s): keys[_np.mod(keys, cfg.bloom_shards) == s]
-                    for s in _np.unique(_np.mod(keys, cfg.bloom_shards))
-                }
-                bloom = ckf.merge_shards(
-                    bloom, by_shard, max(cfg.bloom_bits_per_shard // 64, 1024)
+            if cfg.use_bloom and bloom is not None:
+                # delta size is already known from the collected metrics —
+                # no extra job to decide the maintenance path
+                n_delta = sum(
+                    count
+                    for (_, event, _, _, count, _, _) in round_rows
+                    if event in ("new_urls_found", "urls_scheduled")
                 )
-            else:
-                bloom = seen_ops.bloom_insert_driver(
-                    bloom, keys, cfg.bloom_shards, cfg.bloom_bits_per_shard
-                )
+                bloom = _update_bloom(bloom, seen_delta_ck, n_delta, cfg)
+        if store is not None and cfg.use_bloom and bloom is not None:
+            # store path: delta size unknown until counted — count() on the
+            # committed delta is a metadata-cheap job
+            delta_df = out["seen_delta"]
+            n_delta = delta_df.count()
+            bloom = _update_bloom(bloom, delta_df, n_delta, cfg)
         for df in out.get("_persisted", []):
             df.unpersist()
 

@@ -15,15 +15,37 @@ from pyspark.sql import SparkSession
 
 
 def _scratch_dir() -> str:
+    """Shuffle/checkpoint scratch.  tmpfs is RAM — only use it when /dev/shm
+    actually has headroom (≥16 GiB free), otherwise DISK_ONLY checkpoints and
+    shuffle spill land in memory and ENOSPC/OOM under load.  A real cluster
+    would point this at local SSDs."""
     d = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if d:
         return d
     shm = "/dev/shm/spark-local"
     try:
-        os.makedirs(shm, exist_ok=True)
-        return shm
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 << 30:
+            os.makedirs(shm, exist_ok=True)
+            return shm
     except OSError:
-        return "/tmp"
+        pass
+    return "/tmp"
+
+
+def _driver_mem_default() -> str:
+    """Half of host RAM, clamped to [4g, 24g] — the crawl's DISK_ONLY round
+    history lives off-heap, so the driver heap only needs shuffle/broadcast
+    bookkeeping plus the collected per-round aggregates."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1 << 20)
+                    return f"{max(4, min(24, int(total_gb // 2)))}g"
+    except OSError:
+        pass
+    return "8g"
 
 
 def build_session(
@@ -54,7 +76,10 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _driver_mem_default()),
+        )
         # shuffle/checkpoint scratch on tmpfs: this sandbox VM's ext4 root
         # has pathologically slow small-file metadata ops (measured 1.7×
         # end-to-end), and a real cluster would put spark.local.dir on

@@ -77,13 +77,24 @@ def fetch_over_network(
     host_col: str = "host",
     salt_col: str = "host_salt",
     url_col: str = "url",
+    min_interval_s: float = 1.0,
 ) -> DataFrame:
     """Production fetch stage shape: grouped applyInPandas per
     (host, salt) so requests to one host serialize inside a task.
 
-    STUB: raises NotImplementedError executor-side (no network access in
-    this environment).  The signature, grouping, and output schema are the
-    real ones — swap the body for a ``requests.Session`` loop on deploy.
+    ``min_interval_s`` is the within-task pacing budget: requests inside
+    one (host, salt) group are spaced ≥ this interval — the reference's
+    hard-coded 1 req/s sleep (crawler_node.py:35,261) made per-host and
+    enforced where the requests actually execute.  (The crawl plan's
+    per-round budget bounds volume; this bounds instantaneous rate.)
+    With ``salt_buckets`` salt partitions per host, set
+    ``min_interval_s = salt_buckets / target_host_rps``.
+
+    STUB: the request body raises NotImplementedError executor-side (no
+    network access in this environment).  The signature, grouping, output
+    schema, and the pacing/batching iterator (``iter_paced_batches``,
+    unit-tested without network) are the real ones — swap the marked line
+    for a ``requests.Session`` call on deploy.
     """
     out_schema = (
         batch.schema.simpleString()[7:-1]
@@ -92,10 +103,14 @@ def fetch_over_network(
     )
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        raise NotImplementedError(
-            "network fetch is not available in this sandbox; use "
-            "fetch_synthetic(batch, web_pages) with a fixture table"
-        )
+        for sub in iter_paced_batches(pdf, max_batch=64,
+                                      min_interval_s=min_interval_s):
+            for _url in sub[url_col]:
+                raise NotImplementedError(  # requests.get(_url, timeout=timeout_s, ...)
+                    "network fetch is not available in this sandbox; use "
+                    "fetch_synthetic(batch, web_pages) with a fixture table"
+                )
+        return pdf
 
     return batch.groupBy(host_col, salt_col).applyInPandas(fetch_group, out_schema)
 
@@ -106,10 +121,43 @@ def iter_fetch_batches(pdf: pd.DataFrame, max_batch: int) -> Iterator[pd.DataFra
         yield pdf.iloc[start : start + max_batch]
 
 
+def iter_paced_batches(
+    pdf: pd.DataFrame,
+    max_batch: int,
+    min_interval_s: float,
+    sleep=None,
+    clock=None,
+) -> Iterator[pd.DataFrame]:
+    """Batching iterator with a per-row pacing budget: consecutive rows are
+    released ≥ ``min_interval_s`` apart (row release time, not batch).
+
+    Injected ``sleep``/``clock`` make the pacing unit-testable without
+    wall-clock waits (tests/test_crawl_parity.py::test_paced_batches).
+    """
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    clock = clock or _time.monotonic
+    last: float | None = None
+    for batch in iter_fetch_batches(pdf, max_batch):
+        rows = []
+        for _, row in batch.iterrows():
+            now = clock()
+            if last is not None and min_interval_s > 0:
+                wait = last + min_interval_s - now
+                if wait > 0:
+                    sleep(wait)
+                    now = last + min_interval_s
+            last = now
+            rows.append(row)
+        yield pd.DataFrame(rows, columns=batch.columns)
+
+
 __all__ = [
     "FETCH_RESULT_COLS",
     "fetch_synthetic",
     "classify_fetch",
     "fetch_over_network",
     "iter_fetch_batches",
+    "iter_paced_batches",
 ]

@@ -120,3 +120,36 @@ def test_politeness_budget_respected(engine_result):
 def test_no_duplicate_canonicals_in_seen(engine_result):
     seen = engine_result["seen"]
     assert seen.count() == seen.select("url_hash").distinct().count()
+
+
+def test_paced_batches():
+    """Pacing iterator of the production fetcher: rows released ≥
+    min_interval apart, batching preserved, no wall-clock dependence."""
+    import pandas as pd
+
+    from distributed_web_crawling_and_indexing_system_gcp_spark.sources.fetch import (
+        iter_paced_batches,
+    )
+
+    pdf = pd.DataFrame({"url": [f"http://h.test/{i}" for i in range(7)]})
+    clock_t = [0.0]
+    sleeps: list[float] = []
+
+    def clock():
+        return clock_t[0]
+
+    def sleep(s):
+        sleeps.append(s)
+        clock_t[0] += s
+
+    batches = list(
+        iter_paced_batches(pdf, max_batch=3, min_interval_s=1.0,
+                           sleep=sleep, clock=clock)
+    )
+    # batching: 3 + 3 + 1, original order preserved
+    assert [len(b) for b in batches] == [3, 3, 1]
+    assert [u for b in batches for u in b["url"]] == list(pdf["url"])
+    # first row free, every subsequent row waited 1 s
+    assert len(sleeps) == 6
+    assert all(abs(s - 1.0) < 1e-9 for s in sleeps)
+    assert clock_t[0] == 6.0

@@ -118,3 +118,55 @@ def test_embedding_near_dup_vs_numpy(spark):
         assert got[(a, b)] == pytest.approx(want, abs=1e-9)
     near = {p for p, c in got.items() if c >= 0.99}
     assert (0, 1) in near
+
+
+def test_ngram_skew_cap_bounds_buckets(spark):
+    # a stop-shingle ("aaa bbb ccc") shared by EVERY doc would make its
+    # join bucket quadratic; with the cap the ubiquitous shingle is
+    # dropped, pairs come only from the rarer shingles, and Jaccard is
+    # computed over the capped shingle universe
+    docs = [(i, f"aaa bbb ccc tail{i // 2} tail{i // 2} end{i}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    capped = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.0, max_shingle_df=5
+    )
+    rows = capped.collect()
+    # "aaa bbb ccc" (df=20 > 5) is dropped, so no pair may owe its overlap
+    # to it; pairs (2i, 2i+1) share "ccc tailK tailK"/"bbb ccc tailK" etc.
+    pair_set = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert all(b - a == 1 and a % 2 == 0 for a, b in pair_set)
+    assert len(pair_set) == 10
+    # uncapped, every doc pairs with every other through the stop-shingle
+    uncapped = DD.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.0, max_shingle_df=None
+    )
+    assert uncapped.count() == 20 * 19 // 2
+
+
+def test_keep_latest_recrawl(spark):
+    # a re-crawled URL appends a second documents row; keep_latest leaves
+    # exactly the newest version per canonical_url
+    rows = [
+        ("http://h.test/a", 0, "old a"),
+        ("http://h.test/a", 3, "new a"),
+        ("http://h.test/b", 1, "only b"),
+        ("http://h.test/c", 2, "old c"),
+        ("http://h.test/c", 2, "same-round c"),  # tie on round
+    ]
+    df = spark.createDataFrame(rows, "canonical_url string, round int, text string")
+    kept = {
+        r["canonical_url"]: r["text"]
+        for r in DD.keep_latest(
+            df, ["canonical_url"], "round", tiebreak_col="text"
+        ).collect()
+    }
+    assert kept == {
+        "http://h.test/a": "new a",
+        "http://h.test/b": "only b",
+        "http://h.test/c": "same-round c",  # 's' > 'o' on the tiebreak
+    }
+    # one surviving row per key
+    assert (
+        DD.keep_latest(df, ["canonical_url"], "round", tiebreak_col="text")
+        .groupBy("canonical_url").count().filter("count > 1").count() == 0
+    )

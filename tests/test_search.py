@@ -57,6 +57,46 @@ def test_url_search_and_export(spark):
     assert [r["url"] for r in page] == all_sorted[10:17]
 
 
+def test_topk_plan_is_distributed(spark, postings):
+    """The top-k finisher must compile to TakeOrderedAndProject (distributed
+    partial top-k), never an unpartitioned Window over the full scored
+    relation (which funnels everything through one task at scale)."""
+    df = SE.search_topk(postings, ["spark", "window"], k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # the only Window allowed is the rank assignment over the ≤k-row result
+    # of the limit — i.e. Window must appear ABOVE TakeOrderedAndProject in
+    # the plan tree (physical plans print top-down)
+    if "Window" in plan:
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_search_snippets_shape(spark, postings):
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string").withColumn(
+        "url", F.concat(F.lit("http://h.test/docs/"), F.col("doc_id"))
+    )
+    topk = SE.search_topk(postings, ["spark", "window"], k=3)
+    out = {r["url"]: r for r in SE.search_snippets(
+        topk, docs, ["spark", "window"]).collect()}
+    assert set(out) == {"http://h.test/docs/u1", "http://h.test/docs/u2"}
+    r1 = out["http://h.test/docs/u1"]
+    assert r1["title"] == "u1"  # last path segment (UI/main.py:574)
+    assert "spark" in r1["snippet"]
+    assert r1["rank"] == 1
+
+    # trailing-slash URL falls back to the full URL as title
+    docs2 = docs.withColumn("url", F.concat(F.col("url"), F.lit("/")))
+    out2 = {r["rank"]: r for r in SE.search_snippets(
+        topk, docs2, ["spark", "window"]).collect()}
+    assert out2[1]["title"] == out2[1]["url"]
+
+    # doc with no literal term occurrence gets the reference fallback text
+    topk_all = SE.search_topk(postings, ["table"], k=5)
+    out3 = {r["url"]: r["snippet"] for r in SE.search_snippets(
+        topk_all, docs, ["absentterm"]).collect()}
+    assert all(s == "No preview available" for s in out3.values())
+
+
 def test_partitioned_index_prunes_and_matches(spark, postings, tmp_path):
     path = str(tmp_path / "postings_idx")
     SE.save_postings_partitioned(postings, path, num_buckets=16)

@@ -58,3 +58,31 @@ def test_empty_seen_all_new(spark):
     shards = S.shards_to_dict(S.build_bloom_shards(seen, SHARDS, BITS))
     cands = _seen_df(spark, 50)
     assert S.filter_new(cands, seen, shards, SHARDS, BITS).count() == 50
+
+
+def test_bloom_delta_paths_identical(spark):
+    # driver numpy insert vs distributed build+or over the same delta must
+    # produce bit-identical shard maps (run_crawl switches between them on
+    # cfg.bloom_delta_collect_max — i.e. with the threshold forced to 0
+    # every round takes the distributed path and nothing may change)
+    base = _seen_df(spark, 300)
+    delta = spark.range(300, 450).select(
+        F.xxhash64(F.concat(F.lit("u"), F.col("id"))).alias("url_hash"),
+        F.concat(F.lit("http://h.test/"), F.col("id")).alias("url"),
+    )
+    shards0 = S.shards_to_dict(S.build_bloom_shards(base, SHARDS, BITS))
+
+    import numpy as np
+
+    keys = np.array([r[0] for r in delta.select("url_hash").collect()],
+                    dtype=np.int64)
+    via_driver = S.bloom_insert_driver(shards0, keys, SHARDS, BITS)
+    via_dist = S.or_shards(
+        shards0, S.shards_to_dict(S.build_bloom_shards(delta, SHARDS, BITS))
+    )
+    assert set(via_driver) == set(via_dist)
+    for sid in via_driver:
+        a, b = via_driver[sid], via_dist[sid]
+        # blobs may differ by trailing zero padding only
+        n = max(len(a), len(b))
+        assert a.ljust(n, b"\0") == b.ljust(n, b"\0"), f"shard {sid} differs"

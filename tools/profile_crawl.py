@@ -109,7 +109,7 @@ def main():
             out["metrics"].coalesce(nb).localCheckpoint(**_ck)
         with timed(f"r{round_no}:bloom_delta"):
             import numpy as np
-            keys = np.array([r[0] for r in out["new_seen_keys"].collect()],
+            keys = np.array([r[0] for r in out["seen_delta"].select("url_hash").collect()],
                             dtype=np.int64)
             bloom = seen_ops.bloom_insert_driver(
                 bloom, keys, cfg.bloom_shards, cfg.bloom_bits_per_shard
