@@ -76,11 +76,17 @@ def run_crawl_workload(spark, web, robots, seeds, budget: int = 32_000,
         bloom_shards=32,
         bloom_bits_per_shard=1 << 20,
         max_rounds=depth + 2,
+        extra=json.loads(os.environ.get("SPARK_GRAFT_CRAWL_EXTRA", "{}")),
     )
     out = run_crawl(spark, seeds, web, robots, cfg)
-    fetched = out["frontier"].filter("status = 'fetched'").count()
-    scheduled = out["frontier"].count()
-    return fetched, scheduled
+    # one job for both totals (count + conditional count in a single agg)
+    from pyspark.sql import functions as F
+
+    row = out["frontier"].agg(
+        F.count("*").alias("scheduled"),
+        F.count(F.when(F.col("status") == "fetched", 1)).alias("fetched"),
+    ).collect()[0]
+    return row["fetched"], row["scheduled"]
 
 
 def crawl_workload(spark, n_pages: int, budget: int = 32_000, depth: int = 1,

@@ -137,6 +137,39 @@ def seeds_to_frontier(spark: SparkSession, seed_jobs: DataFrame) -> DataFrame:
     return out.select([f.name for f in FRONTIER_SCHEMA.fields])
 
 
+def validate_seed_jobs(seed_jobs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Ingest guards (F9) — the master's message validation re-expressed
+    for a job table (master_node.py:158-200: empty message, bad JSON,
+    missing task_id, unreadable payload all ack-and-drop; :255-260 null
+    depth falls back to the default limit).
+
+    Returns ``(valid, rejected)``; ``rejected`` carries a ``reject_reason``
+    column so the caller can route it to a dead-letter sink the way the
+    reference logs-and-acks.  Null depth is repaired (default 3), not
+    rejected, matching the reference's lenient default.
+    """
+    reason = (
+        F.when(
+            F.col("task_id").isNull() | (F.trim(F.col("task_id")) == ""),
+            F.lit("missing_task_id"),
+        )
+        .when(
+            F.col("seed_urls").isNull() | (F.size(F.col("seed_urls")) == 0),
+            F.lit("empty_seed_set"),
+        )
+        .when(F.col("depth") < 0, F.lit("invalid_depth"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    flagged = seed_jobs.withColumn("reject_reason", reason)
+    valid = (
+        flagged.filter(F.col("reject_reason").isNull())
+        .drop("reject_reason")
+        .withColumn("depth", F.coalesce(F.col("depth"), F.lit(3)))
+    )
+    rejected = flagged.filter(F.col("reject_reason").isNotNull())
+    return valid, rejected
+
+
 def dedupe_seed_jobs(seed_jobs: DataFrame) -> DataFrame:
     """UI-level duplicate-job collapse: jobs with the same sorted seed-URL
     set reuse the earliest task (UI/main.py:185-199, J5)."""
@@ -203,11 +236,20 @@ def run_round(
     robots_src: DataFrame,
     cfg: CrawlConfig,
     bloom: dict[int, bytes] | None = None,
+    scratch: str | None = None,
 ) -> dict[str, DataFrame]:
     """Execute one crawl round; returns the post-round tables (lazy DFs).
 
     ``robots_src(host, rules_txt)`` is the closed-world robots fixture —
     hosts absent from it are "fetch failed ⇒ permissive" (null rules).
+
+    ``scratch``: directory for the round's fetch-result materialization as
+    PARQUET instead of a row-serialized localCheckpoint.  The fetch result
+    is ~95% html+spans by bytes but most consumers (six status branches,
+    metrics) need only the narrow frontier columns — columnar storage
+    gives them column pruning, so only the documents/link branches pay for
+    the heavy payload.  On a cluster this is exactly an Iceberg/Delta
+    round-state table on local SSD/object storage.
     """
     retryable = (F.col("status") == "pending") | (
         (F.col("status") == "timeout") & (F.col("attempts") < cfg.max_attempts)
@@ -300,16 +342,21 @@ def run_round(
     # parse a MASKED column: only ok_html bodies reach the HTML parser —
     # with a production fetcher, non-HTML 2xx bodies (PDFs etc.) are
     # non-null and would otherwise burn parser time in the hottest stage
-    fetched = (
-        classify_fetch(fetch_synthetic(allowed, web_pages))
-        .withColumn(
-            "spans",
-            parse_html_udf(
-                F.when(F.col("fetch_outcome") == "ok_html", F.col("html"))
-            ),
-        )
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    fetched_lazy = classify_fetch(fetch_synthetic(allowed, web_pages)).withColumn(
+        "spans",
+        parse_html_udf(F.when(F.col("fetch_outcome") == "ok_html", F.col("html"))),
     )
+    if scratch is not None:
+        # columnar round state: the six status branches + metrics prune to
+        # the narrow frontier columns; only documents/link extraction read
+        # the heavy html/spans column chunks
+        path = f"{scratch}/fetched_r{round_no:05d}"
+        fetched_lazy.write.mode("overwrite").parquet(path)
+        fetched = spark.read.parquet(path)
+    else:
+        fetched = fetched_lazy.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     ok_html = fetched.filter(F.col("fetch_outcome") == "ok_html")
     ok_other = fetched.filter(F.col("fetch_outcome") == "ok_other")
     timeouts = fetched.filter(F.col("fetch_outcome") == "timeout")
@@ -350,6 +397,13 @@ def run_round(
     )
     # consumed by frontier append + seen update + metrics
     fresh = fresh.persist()
+    # WARM THE CACHE CHAIN with one linear job: fresh depends on new_batch
+    # which depends on windowed, so this single count populates all three
+    # persisted subtrees in dependency order.  Without it, the round's one
+    # big materialization (a union of many branches) lets several AQE leaf
+    # stages start CONCURRENTLY, each racing to compute the same uncached
+    # subtree — measured ~+900 s of duplicated CPU per 60k-page crawl.
+    fresh.count()
     new_frontier = fresh.select(
         F.col("canonical_url").alias("url"),  # children enqueue normalized
         F.col("canonical_url"),
@@ -512,7 +566,8 @@ def run_crawl(
         robots_rules = store.read("robots")
     else:
         start_round = 0
-        jobs = dedupe_seed_jobs(seed_jobs)
+        valid_jobs, _rejected = validate_seed_jobs(seed_jobs)
+        jobs = dedupe_seed_jobs(valid_jobs)
         # materialize once: the seed subtree (explode + canonicalize UDFs)
         # is referenced by many round-0 branches and would otherwise
         # re-execute per consumer
@@ -536,6 +591,9 @@ def run_crawl(
     )
     _RETRYABLE_EVENTS = {"urls_deferred", "url_timeout_retryable", "new_urls_found"}
     pending_known_empty = False
+    # round 0's delta size is unknown up front → take the separate-job path
+    # once, then gate each round's fold-in on the previous round's size
+    last_delta_est = cfg.bloom_delta_collect_max + 1
 
     # state tables are re-materialized every round; without an explicit
     # repartition the 9-branch frontier union COMPOUNDS partitions across
@@ -545,6 +603,25 @@ def run_crawl(
     # co-partitioning.  (At 10^10 scale the same normalization is the
     # Iceberg state-table write: bucket(url_hash) partitioning.)
     n_buckets = spark.sparkContext.defaultParallelism
+
+    # per-run scratch dir for columnar round-state materializations —
+    # lives under spark.local.dir (local SSD / tmpfs), keyed by app id so
+    # concurrent sessions never collide; freed with the scratch dir
+    _local = spark.sparkContext.getConf().get("spark.local.dir", "/tmp")
+    scratch = cfg.extra.get(
+        "scratch",
+        f"{_local.split(',')[0]}/crawl-{spark.sparkContext.applicationId}",
+    )
+
+    # Optional: pre-hash-partition web_pages on the join key so each
+    # round's sort-merge fetch join reuses the partitioning instead of
+    # re-exchanging the heaviest table.  Off by default: the one-time
+    # shuffle + second cached copy only amortizes on LONG crawls (many
+    # rounds); interleaved A/B at 3 rounds showed no win.  At production
+    # scale the equivalent is a bucketed/Iceberg fetch-cache table, which
+    # pays the layout cost once at ingest, not per crawl.
+    if cfg.extra.get("web_prepart", False):
+        web_pages = web_pages.repartition(n_buckets, "url").persist()
 
     for round_no in range(start_round, cfg.max_rounds):
         if pending_known_empty:
@@ -574,6 +651,7 @@ def run_crawl(
         out = run_round(
             spark, round_no, frontier, seen, robots_rules,
             web_pages, robots_src, cfg, bloom,
+            scratch=scratch if cfg.extra.get("fetched_parquet", True) else None,
         )
         out["documents"] = out["documents"].coalesce(n_buckets)
         if store is not None:
@@ -644,11 +722,21 @@ def run_crawl(
             seen_delta_ck = state_ck.filter(F.col("_tbl") == "seen").select(
                 "url_hash", "url"
             )
+            # one collect returns metrics + robots AND (when last round's
+            # delta was collectable) the seen-delta keys for the Bloom
+            # update — the bloom job folds into this one
+            fold_seen = (
+                cfg.use_bloom
+                and bloom is not None
+                and cfg.filter_kind != "cuckoo"
+                and last_delta_est <= cfg.bloom_delta_collect_max
+            )
+            tbls = ["metrics", "robots"] + (["seen"] if fold_seen else [])
             small_rows = (
-                state_ck.filter(F.col("_tbl").isin("metrics", "robots"))
+                state_ck.filter(F.col("_tbl").isin(tbls))
                 .select(
                     "_tbl", "node_type", "event", "task_id", "url", "count",
-                    "partition_id", "round", "host", "rules_txt",
+                    "partition_id", "round", "host", "rules_txt", "url_hash",
                 )
                 .collect()
             )
@@ -659,6 +747,11 @@ def run_crawl(
                 if r["_tbl"] == "metrics"
             ]
             robots_delta_rows = [r for r in small_rows if r["_tbl"] == "robots"]
+            seen_key_rows = (
+                [r["url_hash"] for r in small_rows if r["_tbl"] == "seen"]
+                if fold_seen
+                else None
+            )
             # seen grows append-only: the round DELTA is a narrow slice of
             # the state checkpoint and the full set stays a lazy union of
             # those slices — never rewrites crawl history.  Compact
@@ -706,14 +799,26 @@ def run_crawl(
                 for (_, event, _, _, count, _, _) in round_rows
             )
             if cfg.use_bloom and bloom is not None:
-                # delta size is already known from the collected metrics —
-                # no extra job to decide the maintenance path
+                # delta size from the collected metrics — no extra job to
+                # decide the maintenance path; this round's size gates
+                # whether NEXT round's collect folds the keys in
                 n_delta = sum(
                     count
                     for (_, event, _, _, count, _, _) in round_rows
                     if event in ("new_urls_found", "urls_scheduled")
                 )
-                bloom = _update_bloom(bloom, seen_delta_ck, n_delta, cfg)
+                last_delta_est = n_delta
+                if seen_key_rows is not None and cfg.filter_kind != "cuckoo":
+                    import numpy as _np
+
+                    bloom = seen_ops.bloom_insert_driver(
+                        bloom,
+                        _np.array(seen_key_rows, dtype=_np.int64),
+                        cfg.bloom_shards,
+                        cfg.bloom_bits_per_shard,
+                    )
+                else:
+                    bloom = _update_bloom(bloom, seen_delta_ck, n_delta, cfg)
         if store is not None and cfg.use_bloom and bloom is not None:
             # store path: delta size unknown until counted — count() on the
             # committed delta is a metadata-cheap job
@@ -723,11 +828,22 @@ def run_crawl(
         for df in out.get("_persisted", []):
             df.unpersist()
 
+    # last-write-wins document surface (reference ES upsert keyed by URL,
+    # indexer_node.py:145-156): the round log is append-only; the returned
+    # `documents` collapses re-crawled URLs to their newest version.  With
+    # the in-run seen-set this is the identity — it matters on resume-
+    # after-reset / forced-refresh crawls where a URL re-enters the
+    # frontier.  One key-partitioned window, no global ordering.
+    from ..operators.dedup import keep_latest
+
     if store is not None:
         return {
             "frontier": store.read("frontier"),
             "seen": store.read("seen"),
-            "documents": store.read("documents"),
+            "documents": keep_latest(
+                store.read("documents"), ["canonical_url"], "round",
+                tiebreak_col="doc_id",
+            ),
             "metrics": store.read("metrics"),
             "robots": store.read("robots"),
         }
@@ -736,7 +852,9 @@ def run_crawl(
     return {
         "frontier": frontier,
         "seen": seen,
-        "documents": documents,
+        "documents": keep_latest(
+            documents, ["canonical_url"], "round", tiebreak_col="doc_id"
+        ),
         "metrics": metrics,
         "robots": robots_rules,
     }
@@ -747,6 +865,7 @@ __all__ = [
     "FRONTIER_SCHEMA",
     "seeds_to_frontier",
     "dedupe_seed_jobs",
+    "validate_seed_jobs",
     "run_round",
     "run_crawl",
 ]

@@ -153,3 +153,30 @@ def test_paced_batches():
     assert len(sleeps) == 6
     assert all(abs(s - 1.0) < 1e-9 for s in sleeps)
     assert clock_t[0] == 6.0
+
+
+def test_validate_seed_jobs(spark):
+    """Ingest guards (F9): bad jobs routed with reasons, null depth repaired."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.plans.crawl import (
+        validate_seed_jobs,
+    )
+
+    jobs = spark.createDataFrame(
+        [
+            ("ok", ["http://a.test/"], 2, None),
+            (None, ["http://b.test/"], 2, None),       # missing task_id
+            ("  ", ["http://c.test/"], 2, None),       # blank task_id
+            ("empty", [], 2, None),                    # no seeds
+            ("neg", ["http://d.test/"], -1, None),     # invalid depth
+            ("nodepth", ["http://e.test/"], None, None),  # null depth → 3
+        ],
+        "task_id string, seed_urls array<string>, depth int, domain_restriction string",
+    )
+    valid, rejected = validate_seed_jobs(jobs)
+    v = {r["task_id"]: r["depth"] for r in valid.collect()}
+    assert v == {"ok": 2, "nodepth": 3}
+    reasons = {r["task_id"]: r["reject_reason"] for r in rejected.collect()}
+    assert reasons[None] == "missing_task_id"
+    assert reasons["  "] == "missing_task_id"
+    assert reasons["empty"] == "empty_seed_set"
+    assert reasons["neg"] == "invalid_depth"
