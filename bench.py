@@ -127,6 +127,9 @@ def main():
         "event_windows",
         "politeness_window",
         "url_canonicalize",
+        "search_snippets",
+        "stall_detect",
+        "dedup_keep_latest",
     ]
     # warm the JVM / codegen / parquet footer caches so the first timed
     # query doesn't absorb session startup

@@ -604,13 +604,22 @@ def run_crawl(
     # Iceberg state-table write: bucket(url_hash) partitioning.)
     n_buckets = spark.sparkContext.defaultParallelism
 
-    # per-run scratch dir for columnar round-state materializations —
-    # lives under spark.local.dir (local SSD / tmpfs), keyed by app id so
-    # concurrent sessions never collide; freed with the scratch dir
-    _local = spark.sparkContext.getConf().get("spark.local.dir", "/tmp")
+    # per-run scratch dir for columnar round-state materializations — a
+    # subdir of Spark's OWN managed local dir (local SSD / tmpfs), so the
+    # JVM shutdown hook deletes it with the rest of the app's scratch;
+    # keyed by app id so concurrent sessions never collide
+    try:
+        _managed = (
+            spark.sparkContext._jvm.org.apache.spark.util.Utils.getLocalDir(
+                spark.sparkContext._jsc.sc().conf()
+            )
+        )
+    except Exception:  # py4j surface moved — fall back to the raw conf dir
+        _managed = spark.sparkContext.getConf().get(
+            "spark.local.dir", "/tmp"
+        ).split(",")[0]
     scratch = cfg.extra.get(
-        "scratch",
-        f"{_local.split(',')[0]}/crawl-{spark.sparkContext.applicationId}",
+        "scratch", f"{_managed}/crawl-{spark.sparkContext.applicationId}"
     )
 
     # Optional: pre-hash-partition web_pages on the join key so each

@@ -72,7 +72,12 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size is tuned for WIDE STRING rows: crawl pages are
+        # ~20 KB of html each, so 10k-record batches would be ~200 MB of
+        # Arrow buffer per in-flight batch per worker — allocation churn
+        # on both sides of the socket that inflates task time as core
+        # count grows.  1024 records ≈ 20 MB keeps transfer pipelined.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

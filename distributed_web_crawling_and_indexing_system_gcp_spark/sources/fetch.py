@@ -39,6 +39,17 @@ def fetch_synthetic(batch: DataFrame, web_pages: DataFrame, url_col: str = "url"
 
     Adds ``final_url, http_status, content_type, html, fetch_ms``.
     URL not in the fixture ⇒ http_status = -2 (unreachable).
+
+    Join shape matters: a naive ``batch LEFT JOIN web`` can only build the
+    web side (Spark cannot broadcast the preserved side of an outer
+    join), so Catalyst sort-merge-joins it — sorting/exchanging the
+    ~20 KB-html web rows EVERY round, which at bench scale was the
+    dominant memory-pressure source.  Decomposed instead into
+    (web ⋈ broadcast(batch)) ∪ (batch ⋉̸ broadcast(web.urls)):
+    the heavy web relation is only ever STREAMED against small broadcast
+    hash tables — no sort, no exchange of page bodies.  (The real
+    network fetcher replaces this operator entirely; this is the fixture
+    path used by tests/bench.)
     """
     pages = web_pages.select(
         F.col("url").alias(url_col),
@@ -48,10 +59,20 @@ def fetch_synthetic(batch: DataFrame, web_pages: DataFrame, url_col: str = "url"
         "html",
         "fetch_ms",
     )
-    joined = batch.join(pages, url_col, "left")
-    return joined.withColumn(
-        "http_status", F.coalesce(F.col("http_status"), F.lit(-2))
+    hit = pages.join(F.broadcast(batch), url_col, "inner").select(
+        *batch.columns, *[c for c in pages.columns if c != url_col]
     )
+    missed = batch.join(
+        F.broadcast(pages.select(url_col)), url_col, "left_anti"
+    ).select(
+        "*",
+        F.lit(None).cast("string").alias("final_url"),
+        F.lit(-2).alias("http_status"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("string").alias("html"),
+        F.lit(None).cast("int").alias("fetch_ms"),
+    )
+    return hit.unionByName(missed)
 
 
 def classify_fetch(df: DataFrame) -> DataFrame:

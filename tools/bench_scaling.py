@@ -144,90 +144,136 @@ def run_at(cpus: int, n_pages: int, reps: int = 2, healthy_burn: float = 1.5) ->
 
 def interleaved_pair(n: int, n_pages: int, hb: float, rounds: int = 2) -> dict:
     """local[n] vs local[4n], alternated so both levels sample the same
-    host-noise window; best throughput per level wins."""
+    host-noise window.  Reports BOTH best-of-reps efficiency (robust to
+    noise episodes hitting one rep) and the per-round-pair median (no
+    flattering selection) — see ADVICE r1."""
+    import statistics
+
     best = {n: None, 4 * n: None}
+    per_round_eff = []
     for _ in range(rounds):
+        pair = {}
         for cpus in (n, 4 * n):
             r = run_at(cpus, n_pages, reps=1, healthy_burn=hb)
+            pair[cpus] = r
             if best[cpus] is None or r["pages_per_sec"] > best[cpus]["pages_per_sec"]:
                 best[cpus] = r
+        per_round_eff.append(
+            (pair[4 * n]["pages_per_sec"] / pair[n]["pages_per_sec"]) / 4.0
+        )
     lo, hi = best[n], best[4 * n]
     eff = (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0
-    return {"n": n, "lo": lo, "hi": hi, "scaling_efficiency": round(eff, 3)}
+    return {
+        "n": n, "lo": lo, "hi": hi,
+        "scaling_efficiency": round(eff, 3),
+        "per_round_efficiency": [round(e, 3) for e in per_round_eff],
+        "median_efficiency": round(statistics.median(per_round_eff), 3),
+    }
+
+
+def _pair_table(pair: dict, lo_name: str, hi_name: str) -> str:
+    lo, hi = pair["lo"], pair["hi"]
+    return (
+        "| parallelism | pages fetched | wall s | pages/s | URLs scheduled/s |\n"
+        "|---|---|---|---|---|\n"
+        f"| {lo_name}  | {lo['fetched']:,} | {lo['sec']} | {lo['pages_per_sec']:,} | {lo['urls_per_sec']:,} |\n"
+        f"| {hi_name}  | {hi['fetched']:,} | {hi['sec']} | {hi['pages_per_sec']:,} | {hi['urls_per_sec']:,} |\n"
+    )
 
 
 def main():
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
-    out_md = sys.argv[2] if len(sys.argv) > 2 else str(REPO / "BENCH" / "BASELINE.md")
+    n_big = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+    out_md = sys.argv[3] if len(sys.argv) > 3 else str(REPO / "BENCH" / "BASELINE.md")
 
     hb = healthy_burn_secs()
     ceil = cpu_ceiling()
-    # pair A: N=2 → per-thread host resources ~constant across levels —
-    # the faithful stand-in for N vs 4N *executors* (each executor brings
-    # its own cores/memory on a real cluster).
-    pair_a = interleaved_pair(2, n_pages, hb)
-    # pair B: N=8 → local[32] saturates all 32 vCPUs with 32 JVM task
-    # threads + 32 Python UDF workers (2× oversubscription local-mode
-    # artifact) and is additionally capped by the host's own 8→32
-    # scaling ceiling measured below.
-    pair_b = interleaved_pair(8, n_pages, hb)
+    # headline: N=2 → 4N=8, scale-representative fixture.  Per-thread host
+    # resources ~constant across levels — the faithful stand-in for N vs
+    # 4N *executors* (each executor brings its own cores/memory).
+    pair_big = interleaved_pair(2, n_big, hb)
+    # same pair on the small fixture — shows how the fixed per-round
+    # driver latency dominates when the input is too small to amortize it
+    pair_small = interleaved_pair(2, n_small, hb)
+    # pair B: local[32] saturates the box (2× thread oversubscription) and
+    # is capped by the host's own measured 8→32 ceiling.
+    pair_b = interleaved_pair(8, n_small, hb)
     r8, r32 = pair_b["lo"], pair_b["hi"]
-    eff = pair_b["scaling_efficiency"]
-    norm = eff / ceil["ceiling_efficiency"] if ceil["ceiling_efficiency"] else 0.0
-    summary = {"pair_2_8": pair_a, "pair_8_32": pair_b,
-               "cpu_ceiling": ceil,
+    eff_b = pair_b["scaling_efficiency"]
+    norm = eff_b / ceil["ceiling_efficiency"] if ceil["ceiling_efficiency"] else 0.0
+    summary = {"pair_2_8_big": pair_big, "pair_2_8_small": pair_small,
+               "pair_8_32": pair_b, "cpu_ceiling": ceil,
                "normalized_efficiency_8_32": round(norm, 3)}
     print(json.dumps(summary))
 
-    a_lo, a_hi = pair_a["lo"], pair_a["hi"]
+    # Amdahl decomposition of the small pair: s + w/2 = T2, s + w/8 = T8
+    t2, t8 = pair_small["lo"]["sec"], pair_small["hi"]["sec"]
+    w = (t2 - t8) * 8.0 / 3.0
+    s = t2 - w / 2.0
+    target_met_big = pair_big["scaling_efficiency"] >= 0.8
+    target_met_small = pair_small["scaling_efficiency"] >= 0.8
+
     md = f"""# BENCH — scaling evidence (north rule)
 
 Same job — `bench.run_crawl_workload` (multi-round crawl: politeness
 window, Bloom-sharded global dedup, robots gate, synthetic fetch join,
-HTML→span parsing, link explode, round loop) — run on the same
-deterministic {n_pages:,}-page synthetic web at two N-vs-4N parallelism
-pairs, one fresh JVM per run, JVM/codegen warmed with a 2k-page run
-first.  The two levels of each pair are INTERLEAVED 2× and the best rep
-per level is kept: this shared sandbox VM has multi-minute episodes of
-~4× multi-core throughput degradation (hypervisor noise), so paired
-sampling inside the same noise window is the only way to compare levels
-fairly.  Each rep is additionally gated on a single-core burn check.
-Fixture generation (the synthetic internet) is setup and excluded from
-the timed region.  `spark.sql.shuffle.partitions` = core count per run;
-host-salt factor 8; Bloom 32 shards × 1 MiB.
+HTML→span parsing, link explode, round loop) — run at N-vs-4N
+parallelism pairs, one fresh JVM per run, JVM/codegen warmed with a
+2k-page run first.  The two levels of each pair are INTERLEAVED 2× —
+this shared sandbox VM has multi-minute episodes of ~4× multi-core
+throughput degradation (hypervisor noise), so paired sampling inside one
+noise window is the only fair comparison.  Each rep is gated on a
+single-core burn check.  BOTH the best-of-reps efficiency and the
+median of per-round-pair efficiencies are reported (best-of is robust
+to a noise episode hitting one rep; median avoids flattering
+selection).  Fixture generation (the synthetic internet) is setup and
+excluded from the timed region.  `spark.sql.shuffle.partitions` = core
+count per run; host-salt factor 8; Bloom 32 shards × 1 MiB.
 
 A real N vs 4N executor cluster is unavailable in this sandbox; per the
 driver instruction, N vs 4N **cores** (`local[N]` vs `local[4N]`) stands
 in for N vs 4N executors.
 
-## Pair A — local[2] → local[8] (faithful cluster analog)
+## Pair A — local[2] → local[8] at {n_big:,} pages (headline)
 
 On a real cluster, 4N executors bring 4× the physical resources.  The
 local-mode pair that preserves that property is one where BOTH levels
 leave per-thread host resources constant — i.e. both well below the 32
 vCPUs (each Spark task thread also pairs with a Python Arrow-UDF worker
-process, so `local[k]` occupies ~2k threads).
+process, so `local[k]` occupies ~2k threads).  The fixture is sized so
+per-round driver latency amortizes the way it would on a real multi-hour
+production crawl (a 10^10-URL frontier runs few, enormous rounds — a
+small fixture measures round-loop latency, not engine scaling).
 
-| parallelism | pages fetched | wall s | pages/s | URLs scheduled/s |
-|---|---|---|---|---|
-| local[2]  | {a_lo['fetched']:,} | {a_lo['sec']} | {a_lo['pages_per_sec']:,} | {a_lo['urls_per_sec']:,} |
-| local[8]  | {a_hi['fetched']:,} | {a_hi['sec']} | {a_hi['pages_per_sec']:,} | {a_hi['urls_per_sec']:,} |
+{_pair_table(pair_big, 'local[2]', 'local[8]')}
+**Scaling efficiency (2 → 8)** = (thr_8 / thr_2) / 4 =
+**{pair_big['scaling_efficiency']:.3f}** best-of-reps;
+median-of-rounds **{pair_big['median_efficiency']:.3f}**
+(per-round: {pair_big['per_round_efficiency']}).
+North-rule target ≥ 0.8: **{"MET" if target_met_big else "NOT MET"}** on this pair.
 
-**Scaling efficiency (2 → 8)** = (thr_8 / thr_2) / 4 = **{pair_a['scaling_efficiency']:.3f}**
-(north-rule target ≥ 0.8).
+## Pair A′ — local[2] → local[8] at {n_small:,} pages (small fixture)
 
-## Pair B — local[8] → local[32] (host-capped)
+{_pair_table(pair_small, 'local[2]', 'local[8]')}
+**Scaling efficiency (2 → 8)** = **{pair_small['scaling_efficiency']:.3f}**
+best-of-reps; median-of-rounds **{pair_small['median_efficiency']:.3f}**
+(per-round: {pair_small['per_round_efficiency']}).
+North-rule target ≥ 0.8: **{"MET" if target_met_small else "NOT MET"}** on this pair.
+Amdahl decomposition of the best reps: parallel work w ≈ {w:.0f} s·core,
+parallelism-independent component s ≈ {s:.0f} s (driver round-loop
+latency: job launch + AQE stage scheduling + per-round collects) — at
+this input size s is {100 * s / t2:.0f}% of the local[2] wall, which caps
+the measurable efficiency regardless of engine dataflow.
+
+## Pair B — local[8] → local[32] at {n_small:,} pages (host-capped)
 
 `local[32]` puts 32 JVM task threads + 32 Python UDF workers on 32
 vCPUs — 2× oversubscription that a real 4N-executor cluster does not
 have — and the host itself does not scale 8→32 (see calibration below).
 
-| parallelism | pages fetched | wall s | pages/s | URLs scheduled/s |
-|---|---|---|---|---|
-| local[8]  | {r8['fetched']:,} | {r8['sec']} | {r8['pages_per_sec']:,} | {r8['urls_per_sec']:,} |
-| local[32] | {r32['fetched']:,} | {r32['sec']} | {r32['pages_per_sec']:,} | {r32['urls_per_sec']:,} |
-
-**Scaling efficiency (8 → 32)** = (thr_32 / thr_8) / 4 = **{eff:.3f}**;
+{_pair_table(pair_b, 'local[8]', 'local[32]')}
+**Scaling efficiency (8 → 32)** = **{eff_b:.3f}** best-of-reps
+(median {pair_b['median_efficiency']:.3f});
 normalized to the host's own 8→32 ceiling: **{norm:.3f}**.
 
 ## Host ceiling calibration
@@ -238,9 +284,9 @@ procs vs {ceil['mops_8']:,} Mops/s at 8 procs ⇒ the HOST's own 8→32
 scaling ceiling is **{ceil['ceiling_efficiency']:.3f}** (frequency
 scaling + hypervisor CPU-steal; `/proc/stat` shows nonzero steal).  No
 job of any kind can measure above that ceiling on this box, which is why
-Pair A is the headline number.
+the 2→8 pairs are the headline numbers.
 
-Generated by `python tools/bench_scaling.py {n_pages}` on {time.strftime('%Y-%m-%d')}.
+Generated by `python tools/bench_scaling.py {n_big} {n_small}` on {time.strftime('%Y-%m-%d')}.
 """
     Path(out_md).parent.mkdir(parents=True, exist_ok=True)
     Path(out_md).write_text(md)
