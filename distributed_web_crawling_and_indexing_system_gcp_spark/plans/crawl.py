@@ -741,23 +741,33 @@ def run_crawl(
                 and last_delta_est <= cfg.bloom_delta_collect_max
             )
             tbls = ["metrics", "robots"] + (["seen"] if fold_seen else [])
-            small_rows = (
+            # Arrow-backed toPandas, NOT collect(): the folded seen delta
+            # can be hundreds of thousands of keys — materializing Python
+            # Row objects for them is seconds of serial driver time per
+            # round; the Arrow path lands them as one numpy column
+            small_pdf = (
                 state_ck.filter(F.col("_tbl").isin(tbls))
                 .select(
                     "_tbl", "node_type", "event", "task_id", "url", "count",
                     "partition_id", "round", "host", "rules_txt", "url_hash",
                 )
-                .collect()
+                .toPandas()
             )
+            m = small_pdf[small_pdf["_tbl"] == "metrics"]
             round_rows = [
-                (r["node_type"], r["event"], r["task_id"], r["url"],
-                 r["count"], r["partition_id"], r["round"])
-                for r in small_rows
-                if r["_tbl"] == "metrics"
+                (nt, ev, tid, url, int(cnt), int(pid), int(rnd))
+                for nt, ev, tid, url, cnt, pid, rnd in zip(
+                    m["node_type"], m["event"], m["task_id"], m["url"],
+                    m["count"], m["partition_id"], m["round"],
+                )
             ]
-            robots_delta_rows = [r for r in small_rows if r["_tbl"] == "robots"]
+            rb = small_pdf[small_pdf["_tbl"] == "robots"]
+            robots_delta_rows = list(
+                zip(rb["host"].tolist(), rb["rules_txt"].tolist())
+            )
             seen_key_rows = (
-                [r["url_hash"] for r in small_rows if r["_tbl"] == "seen"]
+                small_pdf.loc[small_pdf["_tbl"] == "seen", "url_hash"]
+                .to_numpy("int64")
                 if fold_seen
                 else None
             )
@@ -780,7 +790,7 @@ def run_crawl(
             # driver)
             if robots_driver is not None:
                 robots_driver.extend(
-                    (r["host"], r["rules_txt"]) for r in robots_delta_rows
+                    robots_delta_rows
                 )
                 robots_rules = (
                     spark.createDataFrame(
@@ -818,13 +828,9 @@ def run_crawl(
                 )
                 last_delta_est = n_delta
                 if seen_key_rows is not None and cfg.filter_kind != "cuckoo":
-                    import numpy as _np
-
                     bloom = seen_ops.bloom_insert_driver(
-                        bloom,
-                        _np.array(seen_key_rows, dtype=_np.int64),
-                        cfg.bloom_shards,
-                        cfg.bloom_bits_per_shard,
+                        bloom, seen_key_rows,
+                        cfg.bloom_shards, cfg.bloom_bits_per_shard,
                     )
                 else:
                     bloom = _update_bloom(bloom, seen_delta_ck, n_delta, cfg)
