@@ -406,6 +406,25 @@ def _q_search_topk(spark, sf_dir):
     )
 
 
+def _q_search_partitioned(spark, sf_dir):
+    # the 100 TB search path: postings persisted hive-partitioned by
+    # term-hash bucket; the query-time scan prunes to the query terms'
+    # buckets (PartitionFilters on term_bucket — reference behavior
+    # UI/main.py:549-564 at index scale).  Same results as search_topk.
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/dwcis_pindex_{tag}"
+    SE.save_postings_partitioned(
+        _q_postings(spark, sf_dir), path, num_buckets=16
+    )
+    out = SE.search_partitioned(
+        spark, path, ["spark", "window", "merge"], k=10, num_buckets=16
+    )
+    return out.withColumn("score", F.col("score").cast("long"))
+
+
 def _q_search_snippets(spark, sf_dir):
     # reference UI result shape {url, title, snippet} (UI/main.py:567-579)
     d = _t(spark, sf_dir, "documents").withColumn("url", _url_col())
@@ -460,27 +479,27 @@ def _q_dedup_keep_latest(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_dedup_exact(spark, sf_dir):
-    # exact dedup on a 16-char normalized prefix (full-text exact dups do
-    # not exist in this synthetic corpus; the operator is the same groupBy)
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "fp", F.md5(F.substring(TX.norm_text(F.col("text")), 1, 16))
+    # exact dedup via the shipped operator, fingerprinting a 16-char
+    # normalized prefix (full-text exact dups do not exist in this
+    # synthetic corpus; the operator's groupBy shape is identical)
+    d = _t(spark, sf_dir, "documents")
+    groups = DD.exact_dup_groups(
+        d, "doc_id", "text",
+        fingerprint=F.md5(F.substring(TX.norm_text(F.col("text")), 1, 16)),
     )
-    return (
-        d.groupBy("fp")
-        .agg(
-            F.count("*").alias("n_dups"),
-            F.min("doc_id").alias("keep_id"),
-            F.array_join(
-                F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
-            ).alias("dup_ids"),
-        )
-        .filter(F.col("n_dups") > 1)
+    return groups.select(
+        F.col("fingerprint").alias("fp"),
+        "n_dups",
+        "keep_id",
+        F.array_join(F.col("dup_ids").cast("array<string>"), ",").alias("dup_ids"),
     )
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    pairs = DD.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.5, max_shingle_df=1024
+    )
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -531,32 +550,13 @@ def _query_vector(spark, sf_dir):
 def _q_ann_bruteforce(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec, _ = _query_vector(spark, sf_dir)
-    scored = e.select(
-        F.col("vec_id").alias("id"),
-        F.round(
-            DD.cosine_expr(F.col("embedding"), F.array(*[F.lit(float(v)) for v in qvec])),
-            6,
-        ).alias("cosine"),
-    )
-    return topk_ranked(
-        scored, [F.col("cosine").desc(), F.col("id").asc()], 10
-    ).select("id", "cosine", "rank")
+    return SIM.cosine_topk(e, qvec, k=10, round_to=6)
 
 
 def _q_ann_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec, qlabel = _query_vector(spark, sf_dir)
-    pruned = e.filter(F.col("label") == qlabel)
-    scored = pruned.select(
-        F.col("vec_id").alias("id"),
-        F.round(
-            DD.cosine_expr(F.col("embedding"), F.array(*[F.lit(float(v)) for v in qvec])),
-            6,
-        ).alias("cosine"),
-    )
-    return topk_ranked(
-        scored, [F.col("cosine").desc(), F.col("id").asc()], 10
-    ).select("id", "cosine", "rank")
+    return SIM.bucketed_topk(e, qvec, qlabel, k=10, round_to=6)
 
 
 # ---------------------------------------------------------------------------
@@ -684,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": _q_postings,
         "term_stats": _q_term_stats,
         "search_topk": _q_search_topk,
+        "search_partitioned": _q_search_partitioned,
         "search_snippets": _q_search_snippets,
         "url_search": _q_url_search,
         "stall_detect": _q_stall_detect,
@@ -924,6 +925,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT doc, score, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10
         """,
+        # bucket pruning never changes results (buckets not containing the
+        # query terms contribute no hits) — the oracle is the plain search
+        "search_partitioned": f"""
+            {toks_cte},
+            p AS (SELECT tok AS term, doc_id AS doc, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(l) AS tok FROM tok) GROUP BY 1, 2),
+            s AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS score FROM p
+                  WHERE term IN ('spark', 'window', 'merge') GROUP BY doc),
+            r AS (SELECT doc, score,
+                         row_number() OVER (ORDER BY score DESC, doc ASC) AS rn
+                  FROM s)
+            SELECT doc, score, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10
+        """,
         "search_snippets": f"""
             {toks_cte},
             p AS (SELECT tok AS term, doc_id AS doc, count(*) AS tf
@@ -945,7 +959,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT url,
                    CASE WHEN regexp_extract(url, '([^/]*)$', 1) = '' THEN url
                         ELSE regexp_extract(url, '([^/]*)$', 1) END AS title,
-                   CASE WHEN p > 0 THEN substr(t, greatest(p - 30, 1), 61)
+                   CASE WHEN p > 0 THEN regexp_replace(
+                            substr(t, greatest(p - 30, 1), 61),
+                            '\\b(spark|window|merge)\\b', '<em>\\1</em>', 'g')
                         ELSE 'No preview available' END AS snippet,
                    score, rank
             FROM pos
@@ -986,7 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             WITH f AS (SELECT doc_id, md5(substr({_NORM_SQL}, 1, 16)) AS fp FROM documents)
             SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_id,
-                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS dup_ids
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS dup_ids
             FROM f GROUP BY fp HAVING count(*) > 1
         """,
         "dedup_ngram_jaccard": f"""

@@ -31,11 +31,20 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint_md5, norm_text, shingles, ws_tokens
 
 
-def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(fingerprint, n_dups, keep_id, dup_ids) for groups with >1 doc."""
-    fp = df.select(
-        F.col(id_col).alias("doc"), fingerprint_md5(F.col(text_col)).alias("fingerprint")
+def exact_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, fingerprint=None
+) -> DataFrame:
+    """(fingerprint, n_dups, keep_id, dup_ids) for groups with >1 doc.
+
+    ``fingerprint`` optionally overrides the hash expression (a Column
+    over the input row) — e.g. an md5 of a normalized text prefix; the
+    default is the full-text md5 fingerprint.
+    """
+    fp_expr = (
+        fingerprint if fingerprint is not None
+        else fingerprint_md5(F.col(text_col))
     )
+    fp = df.select(F.col(id_col).alias("doc"), fp_expr.alias("fingerprint"))
     return (
         fp.groupBy("fingerprint")
         .agg(
@@ -64,19 +73,21 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 1024,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairs (doc_a < doc_b, jaccard) with shingle-Jaccard ≥ threshold.
 
     Join is blocked on the shingle key: only docs sharing ≥1 shingle meet.
     ``max_shingle_df`` drops ubiquitous shingles before pairing (skew cap):
     a stop-shingle shared by most docs would make its join bucket quadratic
-    (df² candidate pairs), so it is ON by default — a shingle in ≤1024 docs
-    bounds any bucket at ~0.5M pairs regardless of corpus size.  The cap
-    also removes capped shingles from the per-doc set size, i.e. Jaccard is
-    computed over the skew-filtered shingle universe (mirrored exactly in
-    the DuckDB oracle).  Pass ``None`` for exact all-shingle semantics on
-    small inputs.
+    (df² candidate pairs).  A shingle in ≤1024 docs bounds any bucket at
+    ~0.5M pairs regardless of corpus size — pass ``max_shingle_df=1024``
+    (as the shipped entry/bench query does, mirrored exactly in its DuckDB
+    oracle) on any large corpus.  The cap also removes capped shingles from
+    the per-doc set size, i.e. Jaccard is computed over the skew-filtered
+    shingle universe.  The ``None`` default keeps exact all-shingle
+    semantics — the cap is an explicit opt-in, never a silent behavior
+    change for callers.
     """
     sh = _shingle_rows(df, id_col, text_col, k)
     if max_shingle_df is not None:

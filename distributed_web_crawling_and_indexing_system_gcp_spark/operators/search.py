@@ -113,6 +113,7 @@ def search_snippets(
     text_col: str = "text",
     url_col: str = "url",
     window_chars: int = 30,
+    highlight: bool = True,
 ) -> DataFrame:
     """Shapes search hits as the reference UI does (UI/main.py:567-579):
     ``{url, title, snippet}`` — title is the last path segment of the URL
@@ -121,9 +122,16 @@ def search_snippets(
     normalized text ('No preview available' when no term literally occurs,
     mirroring the reference's missing-highlight fallback).
 
+    ``highlight=True`` wraps matched terms in the snippet with
+    ``<em>…</em>`` markup like the reference's ES highlight fragments
+    (UI/main.py:556-560,571-574).  One single-pass regex alternation over
+    the window — deterministic, and inserted tags are never re-matched.
+
     Scale: the top-k side is ≤k rows → broadcast it; the documents scan
     prunes to (id, text, url) columns and the join never shuffles docs.
     """
+    import re as _re
+
     t = norm_text(F.col(text_col))
     # 1-based position of the first term that occurs; 0 → no literal hit
     pos = F.lit(0)
@@ -131,9 +139,11 @@ def search_snippets(
         hit = F.locate(term, t)
         pos = F.when(pos > 0, pos).otherwise(hit)
     start = F.greatest(pos - window_chars, F.lit(1))
-    snippet = F.when(
-        pos > 0, F.substring(t, start, window_chars * 2 + 1)
-    ).otherwise(F.lit("No preview available"))
+    window = F.substring(t, start, window_chars * 2 + 1)
+    if highlight:
+        pat = r"\b(" + "|".join(_re.escape(q) for q in query_terms) + r")\b"
+        window = F.regexp_replace(window, pat, "<em>$1</em>")
+    snippet = F.when(pos > 0, window).otherwise(F.lit("No preview available"))
     last_seg = F.regexp_extract(F.col(url_col), r"([^/]*)$", 1)
     title = F.when(last_seg == "", F.col(url_col)).otherwise(last_seg)
     hits = docs.join(

@@ -26,8 +26,27 @@ from .dedup import cosine_expr
 from .topk import topk_ranked
 
 
+# Above this dimensionality the query vector no longer compiles into the
+# plan as an element-wise literal (which bloats the expression tree at
+# 1024d+); it rides a broadcast 1-row DataFrame instead.
+MAX_LITERAL_DIM = 256
+
+
 def _query_vec_lit(qvec: list[float]):
     return F.array(*[F.lit(float(v)) for v in qvec])
+
+
+def _with_query_vec(df: DataFrame, qvec: list[float], col: str = "_qvec"):
+    """Attach the query vector as column ``col``: an array literal at low
+    dim, a broadcast single-row cross join at high dim (plan stays free of
+    thousand-element literals; BroadcastNestedLoopJoin over 1 row is
+    free)."""
+    if len(qvec) <= MAX_LITERAL_DIM:
+        return df.withColumn(col, _query_vec_lit(qvec))
+    qdf = df.sparkSession.createDataFrame(
+        [([float(v) for v in qvec],)], f"{col} array<double>"
+    )
+    return df.crossJoin(F.broadcast(qdf))
 
 
 def cosine_topk(
@@ -36,13 +55,16 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> DataFrame:
     """(id, cosine, rank) — exact top-k by cosine, deterministic tie-break
-    on id asc."""
-    scored = df.select(
-        F.col(id_col).alias("id"),
-        cosine_expr(F.col(vec_col), _query_vec_lit(qvec)).alias("cosine"),
-    )
+    on id asc.  ``round_to`` rounds the score BEFORE ranking (cross-engine
+    stable tie-breaks for the oracle)."""
+    with_q = _with_query_vec(df, qvec)
+    score = cosine_expr(F.col(vec_col), F.col("_qvec"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = with_q.select(F.col(id_col).alias("id"), score.alias("cosine"))
     return topk_ranked(
         scored, [F.col("cosine").desc(), F.col("id").asc()], k
     ).select("id", "cosine", "rank")
@@ -56,11 +78,12 @@ def bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "label",
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF-style pruned top-k: scan only rows whose bucket equals the
     query's coarse bucket (partition-pruned at scale)."""
     pruned = df.filter(F.col(bucket_col) == F.lit(qbucket))
-    return cosine_topk(pruned, qvec, k, id_col, vec_col)
+    return cosine_topk(pruned, qvec, k, id_col, vec_col, round_to=round_to)
 
 
 def _hyperplane(seed: int, planes: int, dim: int) -> list[list[float]]:

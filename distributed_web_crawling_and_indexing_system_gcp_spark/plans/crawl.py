@@ -78,6 +78,8 @@ METRICS_SCHEMA = (
     "partition_id int, round int"
 )
 
+_RUN_SEQ = 0  # distinguishes scratch dirs of multiple run_crawl calls
+
 
 @dataclass
 class CrawlConfig:
@@ -339,10 +341,29 @@ def run_round(
     # Non-HTML/error rows carry html=null ⇒ parse yields null spans.
     from pyspark.storagelevel import StorageLevel
 
+    # fetch route: the closed-world fixture join (tests/bench — no Python
+    # in the path) or, when cfg.extra["fetcher"] injects a request
+    # callable, the REAL production stage — grouped applyInPandas per
+    # (host, salt) with within-task pacing (sources/fetch.py)
+    if cfg.extra.get("fetcher") is not None:
+        from ..sources.fetch import fetch_over_network
+
+        salted = allowed.withColumn(
+            "host_salt",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(cfg.salt_buckets)).cast("int"),
+        )
+        raw_fetched = fetch_over_network(
+            salted,
+            min_interval_s=cfg.extra.get("fetch_min_interval", 1.0),
+            fetcher=cfg.extra["fetcher"],
+            pacer=cfg.extra.get("fetch_pacer"),
+        ).drop("host_salt")
+    else:
+        raw_fetched = fetch_synthetic(allowed, web_pages)
     # parse a MASKED column: only ok_html bodies reach the HTML parser —
     # with a production fetcher, non-HTML 2xx bodies (PDFs etc.) are
     # non-null and would otherwise burn parser time in the hottest stage
-    fetched_lazy = classify_fetch(fetch_synthetic(allowed, web_pages)).withColumn(
+    fetched_lazy = classify_fetch(raw_fetched).withColumn(
         "spans",
         parse_html_udf(F.when(F.col("fetch_outcome") == "ok_html", F.col("html"))),
     )
@@ -502,6 +523,7 @@ def _update_bloom(
     delta_df: DataFrame,
     n_delta: int,
     cfg: CrawlConfig,
+    seen_full: DataFrame | None = None,
 ) -> dict[int, bytes]:
     """Insert a round's seen-delta keys into the shard map.
 
@@ -512,12 +534,26 @@ def _update_bloom(
     at 10^10-URL scale adds billions of keys, which must never transit the
     driver.  Both paths are bit-identical (asserted by
     tests/test_seen.py::test_bloom_delta_paths_identical).
+
+    Cuckoo shards can't be bitwise-ORed, so big cuckoo deltas instead
+    rebuild the shard map distributedly from ``seen_full`` (the complete
+    post-round seen set) — bounded driver contact either way.
     """
     import numpy as _np
 
     if cfg.filter_kind == "cuckoo":
         from ..operators import cuckoo as ckf
 
+        if n_delta > cfg.bloom_delta_collect_max:
+            # never collect an oversized delta driver-side: rebuild the
+            # cuckoo shards executor-side from the full seen set and
+            # collect only the MB-sized blobs
+            assert seen_full is not None, "big cuckoo delta needs seen_full"
+            shards_df = ckf.build_cuckoo_shards(
+                seen_full, cfg.bloom_shards,
+                max(cfg.bloom_bits_per_shard // 64, 1024),
+            )
+            return seen_ops.shards_to_dict(shards_df)
         keys = _np.array(
             [r[0] for r in delta_df.select("url_hash").collect()], dtype=_np.int64
         )
@@ -591,9 +627,6 @@ def run_crawl(
     )
     _RETRYABLE_EVENTS = {"urls_deferred", "url_timeout_retryable", "new_urls_found"}
     pending_known_empty = False
-    # round 0's delta size is unknown up front → take the separate-job path
-    # once, then gate each round's fold-in on the previous round's size
-    last_delta_est = cfg.bloom_delta_collect_max + 1
 
     # state tables are re-materialized every round; without an explicit
     # repartition the 9-branch frontier union COMPOUNDS partitions across
@@ -618,8 +651,14 @@ def run_crawl(
         _managed = spark.sparkContext.getConf().get(
             "spark.local.dir", "/tmp"
         ).split(",")[0]
+    # per-INVOCATION suffix: two run_crawl calls in one session must not
+    # collide — the second would overwrite fetched_r* parquet the first
+    # run's returned (lazy) DataFrames still reference
+    global _RUN_SEQ
+    _RUN_SEQ += 1
     scratch = cfg.extra.get(
-        "scratch", f"{_managed}/crawl-{spark.sparkContext.applicationId}"
+        "scratch",
+        f"{_managed}/crawl-{spark.sparkContext.applicationId}-{_RUN_SEQ}",
     )
 
     # Optional: pre-hash-partition web_pages on the join key so each
@@ -731,25 +770,22 @@ def run_crawl(
             seen_delta_ck = state_ck.filter(F.col("_tbl") == "seen").select(
                 "url_hash", "url"
             )
-            # one collect returns metrics + robots AND (when last round's
-            # delta was collectable) the seen-delta keys for the Bloom
-            # update — the bloom job folds into this one
-            fold_seen = (
-                cfg.use_bloom
-                and bloom is not None
-                and cfg.filter_kind != "cuckoo"
-                and last_delta_est <= cfg.bloom_delta_collect_max
-            )
-            tbls = ["metrics", "robots"] + (["seen"] if fold_seen else [])
-            # Arrow-backed toPandas, NOT collect(): the folded seen delta
-            # can be hundreds of thousands of keys — materializing Python
-            # Row objects for them is seconds of serial driver time per
-            # round; the Arrow path lands them as one numpy column
+            # one Arrow-backed collect returns the tiny metrics + robots
+            # rows.  The seen-delta keys are deliberately NOT folded into
+            # this frame: the union-tagged checkpoint leaves url_hash null
+            # on metrics/robots rows, and Arrow's null-int64 → float64
+            # pandas conversion silently rounds away the low bits of
+            # xxhash64 keys (float64 has a 53-bit mantissa) — the Bloom
+            # map would then track the WRONG keys and re-linked URLs
+            # would be re-crawled.  The keys come back — when this round's
+            # delta is small enough — in a second single-column collect
+            # over the same materialized checkpoint below (no recompute;
+            # a null-free int64 column stays int64 end-to-end).
             small_pdf = (
-                state_ck.filter(F.col("_tbl").isin(tbls))
+                state_ck.filter(F.col("_tbl").isin(["metrics", "robots"]))
                 .select(
                     "_tbl", "node_type", "event", "task_id", "url", "count",
-                    "partition_id", "round", "host", "rules_txt", "url_hash",
+                    "partition_id", "round", "host", "rules_txt",
                 )
                 .toPandas()
             )
@@ -764,12 +800,6 @@ def run_crawl(
             rb = small_pdf[small_pdf["_tbl"] == "robots"]
             robots_delta_rows = list(
                 zip(rb["host"].tolist(), rb["rules_txt"].tolist())
-            )
-            seen_key_rows = (
-                small_pdf.loc[small_pdf["_tbl"] == "seen", "url_hash"]
-                .to_numpy("int64")
-                if fold_seen
-                else None
             )
             # seen grows append-only: the round DELTA is a narrow slice of
             # the state checkpoint and the full set stays a lazy union of
@@ -818,28 +848,42 @@ def run_crawl(
                 for (_, event, _, _, count, _, _) in round_rows
             )
             if cfg.use_bloom and bloom is not None:
-                # delta size from the collected metrics — no extra job to
-                # decide the maintenance path; this round's size gates
-                # whether NEXT round's collect folds the keys in
+                # delta size from THIS round's already-collected metrics —
+                # no extra job to decide the maintenance path, and a
+                # breadth-explosion round can never pull an oversized
+                # delta through the driver (the gate sees the actual
+                # round's size, not a stale previous-round estimate)
                 n_delta = sum(
                     count
                     for (_, event, _, _, count, _, _) in round_rows
                     if event in ("new_urls_found", "urls_scheduled")
                 )
-                last_delta_est = n_delta
-                if seen_key_rows is not None and cfg.filter_kind != "cuckoo":
+                if (
+                    cfg.filter_kind != "cuckoo"
+                    and n_delta <= cfg.bloom_delta_collect_max
+                ):
+                    # single-column slice of the materialized checkpoint:
+                    # url_hash is null-free here, so Arrow hands back an
+                    # exact int64 numpy column (never float64)
+                    seen_key_rows = (
+                        seen_delta_ck.select("url_hash")
+                        .toPandas()["url_hash"]
+                        .to_numpy("int64")
+                    )
                     bloom = seen_ops.bloom_insert_driver(
                         bloom, seen_key_rows,
                         cfg.bloom_shards, cfg.bloom_bits_per_shard,
                     )
                 else:
-                    bloom = _update_bloom(bloom, seen_delta_ck, n_delta, cfg)
+                    bloom = _update_bloom(
+                        bloom, seen_delta_ck, n_delta, cfg, seen_full=seen
+                    )
         if store is not None and cfg.use_bloom and bloom is not None:
             # store path: delta size unknown until counted — count() on the
             # committed delta is a metadata-cheap job
             delta_df = out["seen_delta"]
             n_delta = delta_df.count()
-            bloom = _update_bloom(bloom, delta_df, n_delta, cfg)
+            bloom = _update_bloom(bloom, delta_df, n_delta, cfg, seen_full=seen)
         for df in out.get("_persisted", []):
             df.unpersist()
 

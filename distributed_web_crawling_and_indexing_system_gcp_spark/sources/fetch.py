@@ -16,11 +16,14 @@ the path.  Unknown URL ⇒ connection error (status -2).  Status codes:
 -1 = timeout, -2 = unreachable, ≥400 = HTTP error (raise_for_status),
 else OK.
 
-The production fetcher (`fetch_over_network`) keeps the exact stage
-signature — grouped ``applyInPandas`` per (host, salt) partition so one
-host's requests serialize within a task (true per-host politeness) while
-hosts parallelize across tasks — but raises ``NotImplementedError``: no
-outbound network here, and wiring ``requests`` in is deployment-specific.
+The production fetcher (`fetch_over_network`) is the real stage —
+grouped ``applyInPandas`` per (host, salt) partition so one host's
+requests serialize within a task (true per-host politeness) while hosts
+parallelize across tasks, with per-request pacing.  The request function
+is INJECTED (``fetcher=``): deployment passes a ``requests.Session``
+wrapper; tests pass ``fixture_fetcher`` over the closed-world table and
+exercise the identical grouped stage.  Without an injected fetcher the
+stage raises ``NotImplementedError`` (no outbound network here).
 """
 
 from __future__ import annotations
@@ -62,8 +65,12 @@ def fetch_synthetic(batch: DataFrame, web_pages: DataFrame, url_col: str = "url"
     hit = pages.join(F.broadcast(batch), url_col, "inner").select(
         *batch.columns, *[c for c in pages.columns if c != url_col]
     )
+    # miss detection joins against the column-pruned URL set only — no
+    # forced broadcast hint: AQE broadcasts it while it fits under
+    # autoBroadcastJoinThreshold and falls back to a shuffle anti-join
+    # when the fixture's URL universe outgrows executor memory
     missed = batch.join(
-        F.broadcast(pages.select(url_col)), url_col, "left_anti"
+        pages.select(url_col), url_col, "left_anti"
     ).select(
         "*",
         F.lit(None).cast("string").alias("final_url"),
@@ -99,9 +106,11 @@ def fetch_over_network(
     salt_col: str = "host_salt",
     url_col: str = "url",
     min_interval_s: float = 1.0,
+    fetcher=None,
+    pacer=None,
 ) -> DataFrame:
-    """Production fetch stage shape: grouped applyInPandas per
-    (host, salt) so requests to one host serialize inside a task.
+    """Production fetch stage: grouped applyInPandas per (host, salt) so
+    requests to one host serialize inside a task.
 
     ``min_interval_s`` is the within-task pacing budget: requests inside
     one (host, salt) group are spaced ≥ this interval — the reference's
@@ -111,29 +120,101 @@ def fetch_over_network(
     With ``salt_buckets`` salt partitions per host, set
     ``min_interval_s = salt_buckets / target_host_rps``.
 
-    STUB: the request body raises NotImplementedError executor-side (no
-    network access in this environment).  The signature, grouping, output
-    schema, and the pacing/batching iterator (``iter_paced_batches``,
-    unit-tested without network) are the real ones — swap the marked line
-    for a ``requests.Session`` call on deploy.
+    ``fetcher`` is the injected request function: ``fetcher(url) -> dict``
+    with keys ``final_url, http_status, content_type, html, fetch_ms``
+    (serialized to executors with the UDF closure).  On deploy this is one
+    lambda over a ``requests.Session``:
+
+        def fetcher(url):
+            r = session.get(url, timeout=timeout_s, headers={...},
+                            allow_redirects=True)
+            return {"final_url": r.url, "http_status": r.status_code, ...}
+
+    With the default ``fetcher=None`` the stage raises NotImplementedError
+    executor-side — no outbound network exists in this sandbox; tests
+    drive the REAL grouped stage with a fake fetcher backed by the web
+    fixture (tests/test_crawl_parity.py) and bench uses the join-based
+    ``fetch_synthetic``.  ``pacer`` optionally supplies per-group
+    ``(sleep, clock)`` for deterministic pacing tests.
     """
     out_schema = (
         batch.schema.simpleString()[7:-1]
         + ", final_url string, http_status int, content_type string, "
         + "html string, fetch_ms int"
     )
+    in_cols = list(batch.columns)
 
     def fetch_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        for sub in iter_paced_batches(pdf, max_batch=64,
-                                      min_interval_s=min_interval_s):
-            for _url in sub[url_col]:
-                raise NotImplementedError(  # requests.get(_url, timeout=timeout_s, ...)
-                    "network fetch is not available in this sandbox; use "
-                    "fetch_synthetic(batch, web_pages) with a fixture table"
+        sleep, clock = pacer() if pacer is not None else (None, None)
+        out_rows = []
+        # pacing wraps the REQUEST call itself (each row is yielded ≥
+        # min_interval_s after the previous row's release) — pacing batch
+        # assembly and then firing requests back-to-back would defeat the
+        # per-host budget
+        for row in iter_paced_rows(pdf, min_interval_s, sleep=sleep,
+                                   clock=clock):
+            if fetcher is None:
+                raise NotImplementedError(
+                    "network fetch is not available in this sandbox; "
+                    "inject fetcher= (a requests.Session wrapper) or "
+                    "use fetch_synthetic(batch, web_pages)"
                 )
-        return pdf
+            res = fetcher(row[url_col])
+            rec = {c: row[c] for c in in_cols}
+            for c in FETCH_RESULT_COLS:
+                rec[c] = res.get(c)
+            out_rows.append(rec)
+        return pd.DataFrame(
+            out_rows, columns=in_cols + list(FETCH_RESULT_COLS)
+        )
 
     return batch.groupBy(host_col, salt_col).applyInPandas(fetch_group, out_schema)
+
+
+def fixture_fetcher(web_rows: dict[str, dict]):
+    """A ``fetcher`` backed by a collected web-fixture dict — semantically
+    identical to ``fetch_synthetic`` (unknown URL ⇒ unreachable, -2), used
+    to exercise the REAL grouped fetch stage without network."""
+
+    def fetch(url: str) -> dict:
+        row = web_rows.get(url)
+        if row is None:
+            return {
+                "final_url": None, "http_status": -2, "content_type": None,
+                "html": None, "fetch_ms": None,
+            }
+        return {
+            "final_url": row["final_url"], "http_status": row["status"],
+            "content_type": row["content_type"], "html": row["html"],
+            "fetch_ms": row["fetch_ms"],
+        }
+
+    return fetch
+
+
+def iter_paced_rows(
+    pdf: pd.DataFrame,
+    min_interval_s: float,
+    sleep=None,
+    clock=None,
+):
+    """Yield rows with ≥ ``min_interval_s`` between releases — the unit of
+    pacing the production fetcher wraps around each request.  Injected
+    ``sleep``/``clock`` make it unit-testable without wall-clock waits."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    clock = clock or _time.monotonic
+    last: float | None = None
+    for _, row in pdf.iterrows():
+        now = clock()
+        if last is not None and min_interval_s > 0:
+            wait = last + min_interval_s - now
+            if wait > 0:
+                sleep(wait)
+                now = last + min_interval_s
+        last = now
+        yield row
 
 
 def iter_fetch_batches(pdf: pd.DataFrame, max_batch: int) -> Iterator[pd.DataFrame]:
@@ -179,6 +260,8 @@ __all__ = [
     "fetch_synthetic",
     "classify_fetch",
     "fetch_over_network",
+    "fixture_fetcher",
     "iter_fetch_batches",
+    "iter_paced_rows",
     "iter_paced_batches",
 ]

@@ -12,6 +12,8 @@ import sys
 
 def main():
     path = sorted(glob.glob(sys.argv[1]))[-1]
+    # optional: only count events at/after this epoch-ms (excludes warmup)
+    after = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     stages = {}
     jobs = []
     task_time = collections.Counter()
@@ -30,6 +32,8 @@ def main():
             si = e["Stage Info"]
             sub = si.get("Submission Time")
             comp = si.get("Completion Time")
+            if sub and sub < after:
+                continue
             stages[si["Stage ID"]] = {
                 "name": si["Stage Name"].split(" at ")[0],
                 "dur": (comp - sub) / 1000 if sub and comp else 0,
@@ -38,6 +42,8 @@ def main():
                 "comp": comp,
             }
         elif t == "SparkListenerJobStart":
+            if e["Submission Time"] < after:
+                continue
             jobs.append({"id": e["Job ID"], "t0": e["Submission Time"]})
         elif t == "SparkListenerJobEnd":
             for j in jobs:
@@ -69,12 +75,15 @@ def main():
     print("stage wall-time by name (task-run-time):")
     for n, d in byname.most_common(16):
         print(f"  {d:8.1f}s (run {run[n]:7.1f}s) x{cnt[n]:4d} stages {tasks[n]:6d} tasks  {n}")
-    print(f"total gc: {sum(gc_time.values())/1000:.1f}s  "
-          f"run: {sum(task_time.values())/1000:.1f}s  "
-          f"cpu: {sum(cpu_time.values())/1000:.1f}s  "
-          f"deser: {sum(ser_time.values())/1000:.1f}s  "
-          f"fetchwait: {sum(fetch_wait.values())/1000:.1f}s  "
-          f"shufwrite: {sum(write_time.values())/1000:.1f}s")
+    def _tot(c):  # only stages inside the analyzed (post-`after`) window
+        return sum(v for k, v in c.items() if k in stages) / 1000
+
+    print(f"total gc: {_tot(gc_time):.1f}s  "
+          f"run: {_tot(task_time):.1f}s  "
+          f"cpu: {_tot(cpu_time):.1f}s  "
+          f"deser: {_tot(ser_time):.1f}s  "
+          f"fetchwait: {_tot(fetch_wait):.1f}s  "
+          f"shufwrite: {_tot(write_time):.1f}s")
     iv = sorted((s["sub"], s["comp"]) for s in stages.values() if s["sub"])
     cov = 0
     cur = None
