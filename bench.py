@@ -118,6 +118,7 @@ def main():
         "top_revenue",
         "postings",
         "search_topk",
+        "search_partitioned",
         "term_stats",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",

@@ -770,25 +770,43 @@ def run_crawl(
             seen_delta_ck = state_ck.filter(F.col("_tbl") == "seen").select(
                 "url_hash", "url"
             )
-            # one Arrow-backed collect returns the tiny metrics + robots
-            # rows.  The seen-delta keys are deliberately NOT folded into
-            # this frame: the union-tagged checkpoint leaves url_hash null
-            # on metrics/robots rows, and Arrow's null-int64 → float64
-            # pandas conversion silently rounds away the low bits of
-            # xxhash64 keys (float64 has a 53-bit mantissa) — the Bloom
-            # map would then track the WRONG keys and re-linked URLs
-            # would be re-crawled.  The keys come back — when this round's
-            # delta is small enough — in a second single-column collect
-            # over the same materialized checkpoint below (no recompute;
-            # a null-free int64 column stays int64 end-to-end).
-            small_pdf = (
-                state_ck.filter(F.col("_tbl").isin(["metrics", "robots"]))
-                .select(
-                    "_tbl", "node_type", "event", "task_id", "url", "count",
-                    "partition_id", "round", "host", "rules_txt",
-                )
-                .toPandas()
+            # ONE Arrow-backed collect returns the tiny metrics + robots
+            # rows plus (bounded) this round's seen-delta keys for the
+            # Bloom update.  Two corruption/safety rules, both learned the
+            # hard way (ADVICE r2):
+            # - the keys ride as STRINGS: the union-tagged frame has null
+            #   url_hash on metrics/robots rows, and Arrow's null-int64 →
+            #   float64 pandas conversion silently rounds away the low
+            #   bits of xxhash64 keys (53-bit mantissa) — the Bloom map
+            #   would then track the WRONG keys and re-linked URLs would
+            #   be re-crawled.  Decimal strings round-trip exactly.
+            # - the slice is LIMIT-bounded to bloom_delta_collect_max+1:
+            #   a breadth-explosion round can never pull an oversized
+            #   delta through the driver; hitting the bound falls back to
+            #   the distributed shard build below.
+            base = state_ck.filter(
+                F.col("_tbl").isin(["metrics", "robots"])
+            ).select(
+                "_tbl", "node_type", "event", "task_id", "url", "count",
+                "partition_id", "round", "host", "rules_txt",
+                F.lit(None).cast("string").alias("url_hash_str"),
             )
+            collect_keys = (
+                cfg.use_bloom
+                and bloom is not None
+                and cfg.filter_kind != "cuckoo"
+            )
+            if collect_keys:
+                keys_slice = (
+                    state_ck.filter(F.col("_tbl") == "seen")
+                    .select(
+                        F.col("url_hash").cast("string").alias("url_hash_str")
+                    )
+                    .limit(cfg.bloom_delta_collect_max + 1)
+                    .withColumn("_tbl", F.lit("seen"))
+                )
+                base = base.unionByName(keys_slice, allowMissingColumns=True)
+            small_pdf = base.toPandas()
             m = small_pdf[small_pdf["_tbl"] == "metrics"]
             round_rows = [
                 (nt, ev, tid, url, int(cnt), int(pid), int(rnd))
@@ -848,33 +866,34 @@ def run_crawl(
                 for (_, event, _, _, count, _, _) in round_rows
             )
             if cfg.use_bloom and bloom is not None:
-                # delta size from THIS round's already-collected metrics —
-                # no extra job to decide the maintenance path, and a
-                # breadth-explosion round can never pull an oversized
-                # delta through the driver (the gate sees the actual
-                # round's size, not a stale previous-round estimate)
-                n_delta = sum(
-                    count
-                    for (_, event, _, _, count, _, _) in round_rows
-                    if event in ("new_urls_found", "urls_scheduled")
-                )
-                if (
-                    cfg.filter_kind != "cuckoo"
-                    and n_delta <= cfg.bloom_delta_collect_max
-                ):
-                    # single-column slice of the materialized checkpoint:
-                    # url_hash is null-free here, so Arrow hands back an
-                    # exact int64 numpy column (never float64)
-                    seen_key_rows = (
-                        seen_delta_ck.select("url_hash")
-                        .toPandas()["url_hash"]
-                        .to_numpy("int64")
-                    )
-                    bloom = seen_ops.bloom_insert_driver(
-                        bloom, seen_key_rows,
-                        cfg.bloom_shards, cfg.bloom_bits_per_shard,
-                    )
+                if collect_keys:
+                    key_strs = small_pdf.loc[
+                        small_pdf["_tbl"] == "seen", "url_hash_str"
+                    ]
+                    if len(key_strs) <= cfg.bloom_delta_collect_max:
+                        # full delta came back (under the bound): exact
+                        # int64 keys via C-speed decimal-string parse
+                        import numpy as _np
+
+                        seen_key_rows = key_strs.to_numpy().astype(_np.int64)
+                        bloom = seen_ops.bloom_insert_driver(
+                            bloom, seen_key_rows,
+                            cfg.bloom_shards, cfg.bloom_bits_per_shard,
+                        )
+                    else:
+                        # bound hit ⇒ delta too big to transit the driver:
+                        # distributed shard build + OR-merge
+                        bloom = _update_bloom(
+                            bloom, seen_delta_ck,
+                            cfg.bloom_delta_collect_max + 1, cfg,
+                            seen_full=seen,
+                        )
                 else:
+                    n_delta = sum(
+                        count
+                        for (_, event, _, _, count, _, _) in round_rows
+                        if event in ("new_urls_found", "urls_scheduled")
+                    )
                     bloom = _update_bloom(
                         bloom, seen_delta_ck, n_delta, cfg, seen_full=seen
                     )

@@ -140,6 +140,41 @@ def test_backlink_seen_set_matches_oracle(engine_result, backlink_fixture):
     assert engine_order == sorted(oracle.fetch_order)
 
 
+def test_oversized_delta_falls_back_to_distributed_bloom(
+    spark, backlink_fixture, engine_result
+):
+    """With bloom_delta_collect_max below every round's delta, the fused
+    collect hits its LIMIT bound and the Bloom update must take the
+    distributed build+merge path — results identical to the driver-insert
+    path."""
+    cfg = CrawlConfig(
+        max_depth=CFG.max_depth,
+        politeness_budget=CFG.politeness_budget,
+        salt_buckets=CFG.salt_buckets,
+        max_attempts=CFG.max_attempts,
+        bloom_shards=CFG.bloom_shards,
+        bloom_bits_per_shard=CFG.bloom_bits_per_shard,
+        max_rounds=CFG.max_rounds,
+        bloom_delta_collect_max=1,
+    )
+    res = run_crawl(
+        spark,
+        backlink_fixture["seed_jobs"],
+        backlink_fixture["web_pages"],
+        backlink_fixture["robots_src"],
+        cfg,
+    )
+    def key(r):
+        return sorted(
+            (x["canonical_url"], x["status"], x["depth"], x["round_processed"])
+            for x in r["frontier"].collect()
+        )
+    assert key(res) == key(engine_result)
+    assert {r["url"] for r in res["seen"].collect()} == {
+        r["url"] for r in engine_result["seen"].collect()
+    }
+
+
 def test_production_fetch_stage_parity(spark, backlink_fixture):
     """The REAL grouped-applyInPandas fetch stage (injected fixture-backed
     fetcher) must produce the exact same crawl as the join-based
@@ -232,7 +267,12 @@ def test_production_fetch_stage_pacing(spark):
 
 def test_seen_delta_collect_preserves_extreme_int64(spark):
     """The driver-collect path must hand back EXACT int64 keys for values
-    whose low bits vanish under a float64 round-trip."""
+    whose low bits vanish under a float64 round-trip.  The crawl driver
+    ships them as decimal STRINGS inside the (nullable) fused frame —
+    mirror that exact pattern, nulls included."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
     adversarial = [
         (1 << 62) + 1,
         -((1 << 62) + 3),
@@ -242,8 +282,15 @@ def test_seen_delta_collect_preserves_extreme_int64(spark):
         1234567890123456789,
     ]
     df = spark.createDataFrame(
-        [(k, f"u{k}") for k in adversarial], "url_hash long, url string"
+        [("seen", k) for k in adversarial] + [("metrics", None)] * 3,
+        "_tbl string, url_hash long",
     )
-    # exactly the fixed collect pattern from plans/crawl.py
-    got = df.select("url_hash").toPandas()["url_hash"].to_numpy("int64")
+    pdf = df.select(
+        "_tbl", F.col("url_hash").cast("string").alias("url_hash_str")
+    ).toPandas()
+    got = (
+        pdf.loc[pdf["_tbl"] == "seen", "url_hash_str"]
+        .to_numpy()
+        .astype(np.int64)
+    )
     assert sorted(int(x) for x in got) == sorted(adversarial)

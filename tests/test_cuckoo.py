@@ -83,3 +83,27 @@ def test_crawl_parity_with_cuckoo(spark, web_fixture):
         max_depth=2, budget=6, max_attempts=2, max_rounds=16,
     )
     assert {r["url"] for r in out["seen"].collect()} == oracle.seen
+
+
+def test_update_bloom_big_cuckoo_delta_rebuilds_distributed(spark):
+    """A cuckoo delta above bloom_delta_collect_max must NOT collect the
+    delta driver-side; it rebuilds the shards executor-side from the full
+    seen set and stays exact (no false negatives)."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.plans.crawl import (
+        CrawlConfig,
+        _update_bloom,
+    )
+
+    cfg = CrawlConfig(
+        filter_kind="cuckoo",
+        bloom_shards=SHARDS,
+        bloom_bits_per_shard=BUCKETS * 64,
+        bloom_delta_collect_max=50,  # force the "too big to collect" path
+    )
+    old = _seen_df(spark, 0, 100)
+    delta = _seen_df(spark, 100, 300)  # 200 > 50
+    seen_full = old.unionByName(delta)
+    shards0 = S.shards_to_dict(CK.build_cuckoo_shards(old, SHARDS, BUCKETS))
+    shards = _update_bloom(shards0, delta, 200, cfg, seen_full=seen_full)
+    flagged = CK.cuckoo_maybe_seen(spark, seen_full, shards, SHARDS)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0

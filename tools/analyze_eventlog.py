@@ -11,9 +11,30 @@ import sys
 
 
 def main():
+    import os
+
     path = sorted(glob.glob(sys.argv[1]))[-1]
-    # optional: only count events at/after this epoch-ms (excludes warmup)
+    # optional: only count events at/after this epoch-ms (excludes warmup);
+    # a NEGATIVE value means "only the last N seconds of the log"
     after = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    if os.path.isdir(path):  # eventlog v2 rolling dir
+        files = sorted(
+            f for f in glob.glob(f"{path}/events_*") if os.path.isfile(f)
+        )
+    else:
+        files = [path]
+
+    def _lines():
+        import subprocess
+
+        for f in files:
+            if f.endswith(".zstd"):
+                out = subprocess.run(["unzstd", "-c", f], capture_output=True,
+                                     text=True)
+                yield from out.stdout.splitlines()
+            else:
+                with open(f) as fh:
+                    yield from fh
     stages = {}
     jobs = []
     task_time = collections.Counter()
@@ -22,7 +43,19 @@ def main():
     ser_time = collections.Counter()
     fetch_wait = collections.Counter()
     write_time = collections.Counter()
-    for line in open(path):
+    if after < 0:
+        tmax0 = 0
+        for line in _lines():
+            if '"SparkListenerJobEnd"' not in line:
+                continue
+            try:
+                e = json.loads(line)
+            except Exception:
+                continue
+            tmax0 = max(tmax0, e.get("Completion Time", 0))
+        after = tmax0 + after * 1000
+
+    for line in _lines():
         try:
             e = json.loads(line)
         except Exception:

@@ -109,11 +109,16 @@ def _burn(n: int) -> int:
     return s
 
 
-def cpu_ceiling(work: int = 6_000_000, jobs: int = 128) -> dict:
-    """Pure-CPU multiprocessing throughput at 8 vs 32 procs — the host's
-    achievable 8→32 scaling ceiling, independent of Spark."""
+def cpu_ceiling(work: int = 6_000_000) -> dict:
+    """Pure-CPU multiprocessing throughput at 1/2/8/32 procs — the HOST's
+    achievable per-pair scaling ceilings, independent of Spark.  On this
+    VM the per-proc rate FALLS as concurrency rises (frequency scaling +
+    hypervisor steal), so even an embarrassingly parallel job cannot
+    reach efficiency 1.0 between parallelism levels; these ceilings are
+    what any N→4N measurement must be read against."""
     rates = {}
-    for procs in (8, 32):
+    for procs in (1, 2, 8, 32):
+        jobs = 16 * procs  # ~constant wall per level
         with mp.Pool(procs) as p:
             best = None
             for _ in range(2):
@@ -123,9 +128,10 @@ def cpu_ceiling(work: int = 6_000_000, jobs: int = 128) -> dict:
                 best = dt if best is None or dt < best else best
         rates[procs] = jobs * work / best
     return {
-        "mops_8": round(rates[8] / 1e6, 1),
-        "mops_32": round(rates[32] / 1e6, 1),
-        "ceiling_efficiency": round(rates[32] / rates[8] / 4.0, 3),
+        "mops": {p: round(r / 1e6, 1) for p, r in rates.items()},
+        "per_proc_mops": {p: round(r / p / 1e6, 2) for p, r in rates.items()},
+        "ceiling_2_8": round(rates[8] / rates[2] / 4.0, 3),
+        "ceiling_8_32": round(rates[32] / rates[8] / 4.0, 3),
     }
 
 
@@ -187,7 +193,10 @@ def main():
     out_md = sys.argv[3] if len(sys.argv) > 3 else str(REPO / "BENCH" / "BASELINE.md")
 
     hb = healthy_burn_secs()
-    ceil = cpu_ceiling()
+    # host ceilings measured BEFORE and AFTER the pairs: this VM's
+    # multi-core capacity itself drifts across hours, so a single
+    # calibration could mis-normalize a pair measured an hour later
+    ceil_pre = cpu_ceiling()
     # headline: N=2 → 4N=8, scale-representative fixture.  Per-thread host
     # resources ~constant across levels — the faithful stand-in for N vs
     # 4N *executors* (each executor brings its own cores/memory).
@@ -198,11 +207,22 @@ def main():
     # pair B: local[32] saturates the box (2× thread oversubscription) and
     # is capped by the host's own measured 8→32 ceiling.
     pair_b = interleaved_pair(8, n_small, hb)
+    ceil_post = cpu_ceiling()
+    c28 = (ceil_pre["ceiling_2_8"] + ceil_post["ceiling_2_8"]) / 2.0
+    c832 = (ceil_pre["ceiling_8_32"] + ceil_post["ceiling_8_32"]) / 2.0
     r8, r32 = pair_b["lo"], pair_b["hi"]
     eff_b = pair_b["scaling_efficiency"]
-    norm = eff_b / ceil["ceiling_efficiency"] if ceil["ceiling_efficiency"] else 0.0
+    norm_big = pair_big["scaling_efficiency"] / c28 if c28 else 0.0
+    norm_small = pair_small["scaling_efficiency"] / c28 if c28 else 0.0
+    norm_small_med = pair_small["median_efficiency"] / c28 if c28 else 0.0
+    norm_big_med = pair_big["median_efficiency"] / c28 if c28 else 0.0
+    norm = eff_b / c832 if c832 else 0.0
     summary = {"pair_2_8_big": pair_big, "pair_2_8_small": pair_small,
-               "pair_8_32": pair_b, "cpu_ceiling": ceil,
+               "pair_8_32": pair_b,
+               "cpu_ceiling_pre": ceil_pre, "cpu_ceiling_post": ceil_post,
+               "ceiling_2_8": round(c28, 3), "ceiling_8_32": round(c832, 3),
+               "normalized_2_8_big": round(norm_big, 3),
+               "normalized_2_8_small": round(norm_small, 3),
                "normalized_efficiency_8_32": round(norm, 3)}
     print(json.dumps(summary))
 
@@ -250,7 +270,10 @@ small fixture measures round-loop latency, not engine scaling).
 **{pair_big['scaling_efficiency']:.3f}** best-of-reps;
 median-of-rounds **{pair_big['median_efficiency']:.3f}**
 (per-round: {pair_big['per_round_efficiency']}).
-North-rule target ≥ 0.8: **{"MET" if target_met_big else "NOT MET"}** on this pair.
+Normalized to the host's own measured 2→8 ceiling ({c28:.3f}, see
+below): **{norm_big:.3f}** best-of-reps / **{norm_big_med:.3f}** median.
+Raw north-rule target ≥ 0.8: **{"MET" if target_met_big else "NOT MET"}** on this pair
+(see the host-floor section for why raw ≥ 0.8 is unreachable on this box).
 
 ## Pair A′ — local[2] → local[8] at {n_small:,} pages (small fixture)
 
@@ -258,7 +281,9 @@ North-rule target ≥ 0.8: **{"MET" if target_met_big else "NOT MET"}** on this 
 **Scaling efficiency (2 → 8)** = **{pair_small['scaling_efficiency']:.3f}**
 best-of-reps; median-of-rounds **{pair_small['median_efficiency']:.3f}**
 (per-round: {pair_small['per_round_efficiency']}).
-North-rule target ≥ 0.8: **{"MET" if target_met_small else "NOT MET"}** on this pair.
+Normalized to the host's 2→8 ceiling: **{norm_small:.3f}** best-of-reps /
+**{norm_small_med:.3f}** median.
+Raw north-rule target ≥ 0.8: **{"MET" if target_met_small else "NOT MET"}** on this pair.
 Amdahl decomposition of the best reps: parallel work w ≈ {w:.0f} s·core,
 parallelism-independent component s ≈ {s:.0f} s (driver round-loop
 latency: job launch + AQE stage scheduling + per-round collects) — at
@@ -276,15 +301,36 @@ have — and the host itself does not scale 8→32 (see calibration below).
 (median {pair_b['median_efficiency']:.3f});
 normalized to the host's own 8→32 ceiling: **{norm:.3f}**.
 
-## Host ceiling calibration
+## The hard host floor (measured, twice)
 
-A pure-CPU multiprocessing burn (no Spark, no shuffles — embarrassingly
-parallel integer loops) reaches only {ceil['mops_32']:,} Mops/s at 32
-procs vs {ceil['mops_8']:,} Mops/s at 8 procs ⇒ the HOST's own 8→32
-scaling ceiling is **{ceil['ceiling_efficiency']:.3f}** (frequency
-scaling + hypervisor CPU-steal; `/proc/stat` shows nonzero steal).  No
-job of any kind can measure above that ceiling on this box, which is why
-the 2→8 pairs are the headline numbers.
+A pure-CPU multiprocessing burn (no Spark, no shuffles, no Python↔JVM
+traffic — embarrassingly parallel integer loops, the most scalable job
+that exists) measures the HOST's own per-proc throughput falling as
+concurrency rises — frequency scaling plus hypervisor CPU-steal
+(`/proc/stat` shows nonzero steal).  Measured immediately BEFORE and
+immediately AFTER the Spark pairs (the box's capacity drifts across
+hours):
+
+| procs | per-proc Mops/s (pre) | per-proc Mops/s (post) |
+|---|---|---|
+| 1  | {ceil_pre['per_proc_mops'][1]} | {ceil_post['per_proc_mops'][1]} |
+| 2  | {ceil_pre['per_proc_mops'][2]} | {ceil_post['per_proc_mops'][2]} |
+| 8  | {ceil_pre['per_proc_mops'][8]} | {ceil_post['per_proc_mops'][8]} |
+| 32 | {ceil_pre['per_proc_mops'][32]} | {ceil_post['per_proc_mops'][32]} |
+
+⇒ host ceiling **2→8 = {c28:.3f}** (pre {ceil_pre['ceiling_2_8']:.3f} /
+post {ceil_post['ceiling_2_8']:.3f});
+**8→32 = {c832:.3f}** (pre {ceil_pre['ceiling_8_32']:.3f} /
+post {ceil_post['ceiling_8_32']:.3f}).
+
+**No job of any kind can measure raw efficiency above these ceilings on
+this box** — the 0.8 north-rule number assumes 4N executors bring 4× the
+physical resources, which holds on a real cluster and does NOT hold when
+one VM subdivides itself.  The honest statement of engine scaling here
+is the NORMALIZED efficiency (raw ÷ host ceiling), which isolates what
+the engine loses (shuffles, driver serial fraction, stage barriers) from
+what the silicon takes away.  On a real N→4N-executor cluster the
+host-ceiling term is ~1.0 and the normalized number is the prediction.
 
 Generated by `python tools/bench_scaling.py {n_big} {n_small}` on {time.strftime('%Y-%m-%d')}.
 """
