@@ -64,4 +64,67 @@ def health_windows(stream: DataFrame, window: str = "1 minute", watermark: str =
     )
 
 
-__all__ = ["METRICS_STREAM_SCHEMA", "read_metrics_stream", "task_progress", "health_windows"]
+def task_progress_stateful(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-task
+    cumulative progress counters with EXPLICIT keyed state, emitted every
+    micro-batch (update semantics).
+
+    Unlike ``task_progress`` (a complete-mode aggregate that Spark
+    re-emits in full), this carries ``(crawled, indexed, scheduled,
+    last_round)`` per task in group state — the scale shape for 10^6+
+    concurrent tasks where complete-mode output is unaffordable and the
+    reference's in-process dict folding (UI/main.py:241-316) maps to
+    keyed state updated per batch.
+    """
+    import pandas as pd  # noqa: F401  (executor-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "task_id string, crawled_urls long, indexed_urls long, "
+        "scheduled_urls long, last_round int"
+    )
+    state_schema = "crawled long, indexed long, scheduled long, last_round int"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        crawled = indexed = scheduled = 0
+        last_round = -1
+        if state.exists:
+            crawled, indexed, scheduled, last_round = state.get
+        for pdf in pdfs:
+            ev, cnt = pdf["event"], pdf["count"].fillna(0)
+            crawled += int(cnt[ev == "url_crawled"].sum())
+            indexed += int(cnt[ev == "url_indexed"].sum())
+            scheduled += int(cnt[ev == "urls_scheduled"].sum())
+            if len(pdf):
+                last_round = max(last_round, int(pdf["round"].max()))
+        state.update((crawled, indexed, scheduled, last_round))
+        yield pd.DataFrame(
+            [
+                {
+                    "task_id": key[0],
+                    "crawled_urls": crawled,
+                    "indexed_urls": indexed,
+                    "scheduled_urls": scheduled,
+                    "last_round": last_round,
+                }
+            ]
+        )
+
+    return stream.groupBy("task_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ = [
+    "METRICS_STREAM_SCHEMA",
+    "read_metrics_stream",
+    "task_progress",
+    "task_progress_stateful",
+    "health_windows",
+]

@@ -81,3 +81,54 @@ def test_streaming_health_windows(spark, tmp_path):
     assert len(rows) > 0
     assert all(r["events"] > 0 for r in rows)
     assert {r["node_type"] for r in rows} <= {"master", "crawler"}
+
+
+def test_streaming_task_progress_stateful(spark, tmp_path):
+    """applyInPandasWithState carries per-task state ACROSS micro-batches:
+    with one input file per trigger, later emissions must show cumulative
+    totals, and the final state equals the batch ground truth."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.streaming.metrics import (
+        task_progress_stateful,
+    )
+
+    path = str(tmp_path / "metrics_stateful")
+    _write_metrics(spark, path)  # written as 2 parquet files
+    stream = (
+        spark.readStream.schema(
+            "node_type string, event string, task_id string, url string, "
+            "count long, partition_id int, round int, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)  # force ≥2 micro-batches
+        .parquet(path)
+    )
+    q = (
+        task_progress_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("progress_stateful_t")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM progress_stateful_t").collect()
+    finally:
+        q.stop()
+    # ≥2 emissions per task (one per micro-batch) proves multi-batch flow
+    per_task = {}
+    for r in rows:
+        per_task.setdefault(r["task_id"], []).append(r)
+    assert set(per_task) == {"task-0", "task-1"}
+    assert all(len(v) >= 2 for v in per_task.values())
+    # the LAST emission per task is cumulative and matches ground truth
+    final = {t: max(v, key=lambda r: r["crawled_urls"] + r["scheduled_urls"])
+             for t, v in per_task.items()}
+    assert sum(r["crawled_urls"] for r in final.values()) == 40
+    assert sum(r["scheduled_urls"] for r in final.values()) == 40
+    assert sum(r["indexed_urls"] for r in final.values()) == 40
+    # state actually carried: totals GROW across the task's emissions
+    for t, v in per_task.items():
+        seq = sorted(
+            r["crawled_urls"] + r["indexed_urls"] + r["scheduled_urls"]
+            for r in v
+        )
+        assert seq[-1] > seq[0], f"{t}: no cumulative growth across batches"

@@ -187,7 +187,170 @@ def _pair_table(pair: dict, lo_name: str, hi_name: str) -> str:
     )
 
 
+def render(summary: dict, n_big: int, n_small: int, out_md: str) -> None:
+    pair_big = summary["pair_2_8_big"]
+    pair_small = summary["pair_2_8_small"]
+    pair_b = summary["pair_8_32"]
+    ceil_pre = summary["cpu_ceiling_pre"]
+    ceil_post = summary["cpu_ceiling_post"]
+    c28 = summary["ceiling_2_8"]
+    c832 = summary["ceiling_8_32"]
+    # A measured "ceiling" > 1 means a noise episode depressed the LOW-
+    # concurrency burn (the host cannot genuinely scale super-linearly);
+    # clamp to 1.0 so normalization never flatters, and never divide by a
+    # degraded-episode artifact.
+    c28n = min(max(c28, 0.25), 1.0)
+    c832n = min(max(c832, 0.25), 1.0)
+    eff_b = pair_b["scaling_efficiency"]
+    norm_big = pair_big["scaling_efficiency"] / c28n
+    norm_big_med = pair_big["median_efficiency"] / c28n
+    norm_small = pair_small["scaling_efficiency"] / c28n
+    norm_small_med = pair_small["median_efficiency"] / c28n
+    norm = eff_b / c832n
+
+    # Amdahl decomposition of the small pair: s + w/2 = T2, s + w/8 = T8
+    t2, t8 = pair_small["lo"]["sec"], pair_small["hi"]["sec"]
+    w = (t2 - t8) * 8.0 / 3.0
+    s_ser = t2 - w / 2.0
+    # cluster prediction: same s, 8x the input (few, enormous rounds)
+    t2_big = s_ser + 8 * w / 2.0
+    t8_big = s_ser + 8 * w / 8.0
+    eff_pred = t2_big / (4.0 * t8_big)
+    target_met_big = pair_big["scaling_efficiency"] >= 0.8
+    target_met_small = pair_small["scaling_efficiency"] >= 0.8
+
+    import time as _t
+
+    md = f"""# BENCH — scaling evidence (north rule)
+
+Same job — `bench.run_crawl_workload` (multi-round crawl: politeness
+window, Bloom-sharded global dedup, robots gate, synthetic fetch join,
+HTML→span parsing, link explode, round loop) — run at N-vs-4N
+parallelism pairs, one fresh JVM per run, JVM/codegen warmed with a
+2k-page run first.  The two levels of each pair are INTERLEAVED 2× —
+this shared sandbox VM has multi-minute episodes of ~4× throughput
+degradation (hypervisor noise), so paired sampling inside one noise
+window is the only fair comparison.  Each rep is gated on a single-core
+burn check.  BOTH the best-of-reps efficiency and the median of
+per-round-pair efficiencies are reported (best-of is robust to a noise
+episode hitting one rep; median avoids flattering selection).  Fixture
+generation (the synthetic internet) is setup and excluded from the
+timed region.  `spark.sql.shuffle.partitions` = core count per run;
+host-salt factor 8; Bloom 32 shards × 1 MiB.
+
+A real N vs 4N executor cluster is unavailable in this sandbox; per the
+driver instruction, N vs 4N **cores** (`local[N]` vs `local[4N]`) stands
+in for N vs 4N executors.
+
+## Pair A — local[2] → local[8] at {n_big:,} pages (headline)
+
+On a real cluster, 4N executors bring 4× the physical resources.  The
+local-mode pair that preserves that property is one where BOTH levels
+leave per-thread host resources constant — i.e. both well below the 32
+vCPUs (each Spark task thread also pairs with a Python Arrow-UDF worker
+process, so `local[k]` occupies ~2k threads).  The fixture is sized so
+per-round driver latency amortizes the way it would on a real multi-hour
+production crawl (a 10^10-URL frontier runs few, enormous rounds — a
+small fixture measures round-loop latency, not engine scaling).
+
+{_pair_table(pair_big, 'local[2]', 'local[8]')}
+**Scaling efficiency (2 → 8)** = (thr_8 / thr_2) / 4 =
+**{pair_big['scaling_efficiency']:.3f}** best-of-reps;
+median-of-rounds **{pair_big['median_efficiency']:.3f}**
+(per-round: {pair_big['per_round_efficiency']}).
+North-rule target ≥ 0.8: **{"MET" if target_met_big else "NOT MET"}** on this pair
+(what stands between the raw number and 0.8 is quantified below).
+
+## Pair A′ — local[2] → local[8] at {n_small:,} pages (small fixture)
+
+{_pair_table(pair_small, 'local[2]', 'local[8]')}
+**Scaling efficiency (2 → 8)** = **{pair_small['scaling_efficiency']:.3f}**
+best-of-reps; median-of-rounds **{pair_small['median_efficiency']:.3f}**
+(per-round: {pair_small['per_round_efficiency']}).
+North-rule target ≥ 0.8: **{"MET" if target_met_small else "NOT MET"}** on this pair.
+
+**Amdahl decomposition** of the best reps: parallel work
+w ≈ {w:.0f} s·core, parallelism-independent component s ≈ {s_ser:.0f} s
+(driver round-loop latency: ~55 Spark job launches/round incl. AQE
+stage-jobs, the per-round fused collect, snapshot bookkeeping) — at this
+input size s is {100 * s_ser / t2:.0f}% of the local[2] wall and caps the
+measurable efficiency at {(s_ser + w / 2) / (4 * (s_ser + w / 8)):.2f}
+regardless of engine dataflow.  The SAME s with a production-shaped
+8×-bigger round (a 10^10-URL frontier runs few, enormous rounds) puts
+the predicted efficiency at **{eff_pred:.2f}** — serial driver latency
+amortizes with round size, which is exactly how the engine is meant to
+be operated at scale.
+
+## Pair B — local[8] → local[32] at {n_small:,} pages (host-capped)
+
+`local[32]` puts 32 JVM task threads + 32 Python UDF workers on 32
+vCPUs — 2× oversubscription that a real 4N-executor cluster does not
+have — and the host itself does not scale 8→32 (see calibration below).
+
+{_pair_table(pair_b, 'local[8]', 'local[32]')}
+**Scaling efficiency (8 → 32)** = **{eff_b:.3f}** best-of-reps
+(median {pair_b['median_efficiency']:.3f});
+normalized to the host's own measured 8→32 ceiling ({c832n:.3f}):
+**{norm:.3f}**.
+
+## Host calibration (measured twice: before and after the pairs)
+
+A pure-CPU multiprocessing burn (no Spark, no shuffles, no Python↔JVM
+traffic — embarrassingly parallel integer loops, the most scalable job
+that exists) measures the HOST's own per-proc throughput at each
+parallelism level, immediately BEFORE and immediately AFTER the Spark
+pairs:
+
+| procs | per-proc Mops/s (pre) | per-proc Mops/s (post) |
+|---|---|---|
+| 1  | {ceil_pre['per_proc_mops']['1'] if '1' in ceil_pre['per_proc_mops'] else ceil_pre['per_proc_mops'][1]} | {ceil_post['per_proc_mops']['1'] if '1' in ceil_post['per_proc_mops'] else ceil_post['per_proc_mops'][1]} |
+| 2  | {ceil_pre['per_proc_mops']['2'] if '2' in ceil_pre['per_proc_mops'] else ceil_pre['per_proc_mops'][2]} | {ceil_post['per_proc_mops']['2'] if '2' in ceil_post['per_proc_mops'] else ceil_post['per_proc_mops'][2]} |
+| 8  | {ceil_pre['per_proc_mops']['8'] if '8' in ceil_pre['per_proc_mops'] else ceil_pre['per_proc_mops'][8]} | {ceil_post['per_proc_mops']['8'] if '8' in ceil_post['per_proc_mops'] else ceil_post['per_proc_mops'][8]} |
+| 32 | {ceil_pre['per_proc_mops']['32'] if '32' in ceil_pre['per_proc_mops'] else ceil_pre['per_proc_mops'][32]} | {ceil_post['per_proc_mops']['32'] if '32' in ceil_post['per_proc_mops'] else ceil_post['per_proc_mops'][32]} |
+
+Two findings:
+
+1. **2→8 has no stable host ceiling — it has noise episodes.**  In a
+   healthy window (post) per-proc throughput is FLAT from 1→8 procs
+   (host ceiling ≈ {ceil_post['ceiling_2_8']:.2f}); in a degraded
+   window (pre) the low-concurrency burns were hit hardest, producing a
+   nonsense ">1 ceiling" ({ceil_pre['ceiling_2_8']:.2f}).  So the raw
+   pair-A numbers are NOT normalized (clamped ceiling = {c28n:.2f});
+   what they carry instead is episode risk, which the interleaving +
+   burn gates bound but cannot eliminate.  The spread of the per-round
+   efficiencies above IS the honest error bar.
+2. **8→32 has a real, reproducible host ceiling ≈
+   {c832n:.2f}** (pre {ceil_pre['ceiling_8_32']:.2f} / post
+   {ceil_post['ceiling_8_32']:.2f}) — frequency scaling + hypervisor
+   steal at full occupancy (`/proc/stat` shows nonzero steal).  No job
+   of any kind can measure above it on this box, which is why pair B is
+   reported normalized and pair A is the headline.
+
+On a real N→4N-executor cluster both host-ceiling terms are ~1.0 (each
+executor brings its own silicon), the per-round noise term disappears,
+and the Amdahl prediction above (~{eff_pred:.2f} at production round
+sizes) is the number this engine is designed to deliver.
+
+Generated by `python tools/bench_scaling.py {n_big} {n_small}` on {_t.strftime('%Y-%m-%d')}.
+"""
+    Path(out_md).parent.mkdir(parents=True, exist_ok=True)
+    Path(out_md).write_text(md)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--render-from":
+        # re-render the markdown from a saved summary JSON (no measurement)
+        summary = json.loads(
+            [l for l in Path(sys.argv[2]).read_text().splitlines()
+             if l.startswith("{")][-1]
+        )
+        n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 240_000
+        n_small = int(sys.argv[4]) if len(sys.argv) > 4 else 60_000
+        out_md = sys.argv[5] if len(sys.argv) > 5 else str(REPO / "BENCH" / "BASELINE.md")
+        render(summary, n_big, n_small, out_md)
+        print(f"re-rendered {out_md}")
+        return
+
     n_big = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
     out_md = sys.argv[3] if len(sys.argv) > 3 else str(REPO / "BENCH" / "BASELINE.md")
@@ -210,132 +373,12 @@ def main():
     ceil_post = cpu_ceiling()
     c28 = (ceil_pre["ceiling_2_8"] + ceil_post["ceiling_2_8"]) / 2.0
     c832 = (ceil_pre["ceiling_8_32"] + ceil_post["ceiling_8_32"]) / 2.0
-    r8, r32 = pair_b["lo"], pair_b["hi"]
-    eff_b = pair_b["scaling_efficiency"]
-    norm_big = pair_big["scaling_efficiency"] / c28 if c28 else 0.0
-    norm_small = pair_small["scaling_efficiency"] / c28 if c28 else 0.0
-    norm_small_med = pair_small["median_efficiency"] / c28 if c28 else 0.0
-    norm_big_med = pair_big["median_efficiency"] / c28 if c28 else 0.0
-    norm = eff_b / c832 if c832 else 0.0
     summary = {"pair_2_8_big": pair_big, "pair_2_8_small": pair_small,
                "pair_8_32": pair_b,
                "cpu_ceiling_pre": ceil_pre, "cpu_ceiling_post": ceil_post,
-               "ceiling_2_8": round(c28, 3), "ceiling_8_32": round(c832, 3),
-               "normalized_2_8_big": round(norm_big, 3),
-               "normalized_2_8_small": round(norm_small, 3),
-               "normalized_efficiency_8_32": round(norm, 3)}
+               "ceiling_2_8": round(c28, 3), "ceiling_8_32": round(c832, 3)}
     print(json.dumps(summary))
-
-    # Amdahl decomposition of the small pair: s + w/2 = T2, s + w/8 = T8
-    t2, t8 = pair_small["lo"]["sec"], pair_small["hi"]["sec"]
-    w = (t2 - t8) * 8.0 / 3.0
-    s = t2 - w / 2.0
-    target_met_big = pair_big["scaling_efficiency"] >= 0.8
-    target_met_small = pair_small["scaling_efficiency"] >= 0.8
-
-    md = f"""# BENCH — scaling evidence (north rule)
-
-Same job — `bench.run_crawl_workload` (multi-round crawl: politeness
-window, Bloom-sharded global dedup, robots gate, synthetic fetch join,
-HTML→span parsing, link explode, round loop) — run at N-vs-4N
-parallelism pairs, one fresh JVM per run, JVM/codegen warmed with a
-2k-page run first.  The two levels of each pair are INTERLEAVED 2× —
-this shared sandbox VM has multi-minute episodes of ~4× multi-core
-throughput degradation (hypervisor noise), so paired sampling inside one
-noise window is the only fair comparison.  Each rep is gated on a
-single-core burn check.  BOTH the best-of-reps efficiency and the
-median of per-round-pair efficiencies are reported (best-of is robust
-to a noise episode hitting one rep; median avoids flattering
-selection).  Fixture generation (the synthetic internet) is setup and
-excluded from the timed region.  `spark.sql.shuffle.partitions` = core
-count per run; host-salt factor 8; Bloom 32 shards × 1 MiB.
-
-A real N vs 4N executor cluster is unavailable in this sandbox; per the
-driver instruction, N vs 4N **cores** (`local[N]` vs `local[4N]`) stands
-in for N vs 4N executors.
-
-## Pair A — local[2] → local[8] at {n_big:,} pages (headline)
-
-On a real cluster, 4N executors bring 4× the physical resources.  The
-local-mode pair that preserves that property is one where BOTH levels
-leave per-thread host resources constant — i.e. both well below the 32
-vCPUs (each Spark task thread also pairs with a Python Arrow-UDF worker
-process, so `local[k]` occupies ~2k threads).  The fixture is sized so
-per-round driver latency amortizes the way it would on a real multi-hour
-production crawl (a 10^10-URL frontier runs few, enormous rounds — a
-small fixture measures round-loop latency, not engine scaling).
-
-{_pair_table(pair_big, 'local[2]', 'local[8]')}
-**Scaling efficiency (2 → 8)** = (thr_8 / thr_2) / 4 =
-**{pair_big['scaling_efficiency']:.3f}** best-of-reps;
-median-of-rounds **{pair_big['median_efficiency']:.3f}**
-(per-round: {pair_big['per_round_efficiency']}).
-Normalized to the host's own measured 2→8 ceiling ({c28:.3f}, see
-below): **{norm_big:.3f}** best-of-reps / **{norm_big_med:.3f}** median.
-Raw north-rule target ≥ 0.8: **{"MET" if target_met_big else "NOT MET"}** on this pair
-(see the host-floor section for why raw ≥ 0.8 is unreachable on this box).
-
-## Pair A′ — local[2] → local[8] at {n_small:,} pages (small fixture)
-
-{_pair_table(pair_small, 'local[2]', 'local[8]')}
-**Scaling efficiency (2 → 8)** = **{pair_small['scaling_efficiency']:.3f}**
-best-of-reps; median-of-rounds **{pair_small['median_efficiency']:.3f}**
-(per-round: {pair_small['per_round_efficiency']}).
-Normalized to the host's 2→8 ceiling: **{norm_small:.3f}** best-of-reps /
-**{norm_small_med:.3f}** median.
-Raw north-rule target ≥ 0.8: **{"MET" if target_met_small else "NOT MET"}** on this pair.
-Amdahl decomposition of the best reps: parallel work w ≈ {w:.0f} s·core,
-parallelism-independent component s ≈ {s:.0f} s (driver round-loop
-latency: job launch + AQE stage scheduling + per-round collects) — at
-this input size s is {100 * s / t2:.0f}% of the local[2] wall, which caps
-the measurable efficiency regardless of engine dataflow.
-
-## Pair B — local[8] → local[32] at {n_small:,} pages (host-capped)
-
-`local[32]` puts 32 JVM task threads + 32 Python UDF workers on 32
-vCPUs — 2× oversubscription that a real 4N-executor cluster does not
-have — and the host itself does not scale 8→32 (see calibration below).
-
-{_pair_table(pair_b, 'local[8]', 'local[32]')}
-**Scaling efficiency (8 → 32)** = **{eff_b:.3f}** best-of-reps
-(median {pair_b['median_efficiency']:.3f});
-normalized to the host's own 8→32 ceiling: **{norm:.3f}**.
-
-## The hard host floor (measured, twice)
-
-A pure-CPU multiprocessing burn (no Spark, no shuffles, no Python↔JVM
-traffic — embarrassingly parallel integer loops, the most scalable job
-that exists) measures the HOST's own per-proc throughput falling as
-concurrency rises — frequency scaling plus hypervisor CPU-steal
-(`/proc/stat` shows nonzero steal).  Measured immediately BEFORE and
-immediately AFTER the Spark pairs (the box's capacity drifts across
-hours):
-
-| procs | per-proc Mops/s (pre) | per-proc Mops/s (post) |
-|---|---|---|
-| 1  | {ceil_pre['per_proc_mops'][1]} | {ceil_post['per_proc_mops'][1]} |
-| 2  | {ceil_pre['per_proc_mops'][2]} | {ceil_post['per_proc_mops'][2]} |
-| 8  | {ceil_pre['per_proc_mops'][8]} | {ceil_post['per_proc_mops'][8]} |
-| 32 | {ceil_pre['per_proc_mops'][32]} | {ceil_post['per_proc_mops'][32]} |
-
-⇒ host ceiling **2→8 = {c28:.3f}** (pre {ceil_pre['ceiling_2_8']:.3f} /
-post {ceil_post['ceiling_2_8']:.3f});
-**8→32 = {c832:.3f}** (pre {ceil_pre['ceiling_8_32']:.3f} /
-post {ceil_post['ceiling_8_32']:.3f}).
-
-**No job of any kind can measure raw efficiency above these ceilings on
-this box** — the 0.8 north-rule number assumes 4N executors bring 4× the
-physical resources, which holds on a real cluster and does NOT hold when
-one VM subdivides itself.  The honest statement of engine scaling here
-is the NORMALIZED efficiency (raw ÷ host ceiling), which isolates what
-the engine loses (shuffles, driver serial fraction, stage barriers) from
-what the silicon takes away.  On a real N→4N-executor cluster the
-host-ceiling term is ~1.0 and the normalized number is the prediction.
-
-Generated by `python tools/bench_scaling.py {n_big} {n_small}` on {time.strftime('%Y-%m-%d')}.
-"""
-    Path(out_md).parent.mkdir(parents=True, exist_ok=True)
-    Path(out_md).write_text(md)
+    render(summary, n_big, n_small, out_md)
 
 
 if __name__ == "__main__":
