@@ -587,6 +587,31 @@ def _q_lang_id(spark, sf_dir):
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
 
 
+def _q_corpus_clean(spark, sf_dir):
+    """Flagship training-data pipeline composition: quality filter →
+    language filter → exact-dedup (keep lowest doc_id per fingerprint) —
+    the chained form a 100 TB corpus-cleaning job takes (each stage is a
+    narrow map or one key-partitioned shuffle; the dedup window never
+    sees the full relation unpartitioned)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+        TX.lang_id(F.col("text")).alias("pred_lang"),
+        F.md5(F.substring(TX.norm_text(F.col("text")), 1, 16)).alias("fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.55) & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("doc_id", "quality", "pred_lang", "fp")
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -699,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
+        "corpus_clean": _q_corpus_clean,
         "fingerprint": _q_fingerprint,
         "media_meta": _q_media_meta,
         "pricing_summary": _q_pricing_summary,
@@ -1102,6 +1128,45 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
                         ELSE 'de' END AS pred_lang
             FROM s
+        """,
+        "corpus_clean": f"""
+            WITH n AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM documents),
+            m AS (SELECT doc_id, text, toks,
+                         len(toks) AS nt,
+                         len(list_filter(list_transform(toks, x -> lower(x)), x -> list_contains({stop_list}, x))) AS nstop,
+                         length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS npunct,
+                         list_sum(list_transform(toks, x -> length(x))) AS sumlen
+                  FROM n),
+            q AS (SELECT doc_id,
+                         round(
+                           0.25 * least(1.0, nt / 100.0)
+                         + 0.25 * (1.0 - least(1.0, 4.0 * (CASE WHEN length(text) > 0 THEN npunct * 1.0 / length(text) ELSE 0.0 END)))
+                         + 0.25 * least(1.0, 4.0 * (CASE WHEN nt > 0 THEN nstop * 1.0 / nt ELSE 0.0 END))
+                         + 0.25 * greatest(0.0, least(1.0, ((CASE WHEN nt > 0 THEN sumlen * 1.0 / nt ELSE 0.0 END) - 2.0) / 6.0)),
+                         6) AS quality
+                  FROM m),
+            ltoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l FROM documents),
+            ls AS (SELECT doc_id,
+                          {lang_scores['en']} AS s_en,
+                          {lang_scores['es']} AS s_es,
+                          {lang_scores['fr']} AS s_fr,
+                          {lang_scores['de']} AS s_de
+                   FROM ltoks),
+            lang AS (SELECT doc_id,
+                            CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                                 WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                                 WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                                 WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                                 ELSE 'de' END AS pred_lang
+                     FROM ls),
+            fp AS (SELECT doc_id, md5(substr({_NORM_SQL}, 1, 16)) AS fp FROM documents),
+            kept AS (SELECT q.doc_id, q.quality, lang.pred_lang, fp.fp
+                     FROM q JOIN lang ON q.doc_id = lang.doc_id
+                            JOIN fp ON q.doc_id = fp.doc_id
+                     WHERE q.quality >= 0.55 AND lang.pred_lang = 'en'),
+            r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                  FROM kept)
+            SELECT doc_id, quality, pred_lang, fp FROM r WHERE rn = 1
         """,
         "fingerprint": f"""
             {_SHINGLE_CTE},

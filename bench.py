@@ -131,6 +131,7 @@ def main():
         "search_snippets",
         "stall_detect",
         "dedup_keep_latest",
+        "corpus_clean",
     ]
     # warm the JVM / codegen / parquet footer caches so the first timed
     # query doesn't absorb session startup
