@@ -559,6 +559,18 @@ def _q_ann_ivf(spark, sf_dir):
     return SIM.bucketed_topk(e, qvec, qlabel, k=10, round_to=6)
 
 
+def _q_ann_lsh(spark, sf_dir):
+    """Multi-probe sign-LSH ANN (non-SQL: the md5-derived hyperplanes are
+    not expressible in DuckDB — rows-only driver check; exact parity vs
+    numpy lives in tests/test_similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec, _ = _query_vector(spark, sf_dir)
+    b = SIM.sign_lsh_bucket(e, dim=len(qvec), planes=6, seed=7)
+    return SIM.sign_lsh_topk(
+        b, qvec, k=10, planes=6, seed=7, probes=3, round_to=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -721,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,  # non-SQL: rows-only check
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,

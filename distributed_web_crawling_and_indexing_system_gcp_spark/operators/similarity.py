@@ -86,6 +86,52 @@ def bucketed_topk(
     return cosine_topk(pruned, qvec, k, id_col, vec_col, round_to=round_to)
 
 
+def _project_bucket(qvec: list[float], planes: int, seed: int) -> int:
+    """Driver-side sign bucket of one query vector (same hyperplanes as
+    ``sign_lsh_bucket``)."""
+    b = 0
+    for i, plane in enumerate(_hyperplane(seed, planes, len(qvec))):
+        dot = sum(float(x) * y for x, y in zip(qvec, plane))
+        if dot >= 0:
+            b |= 1 << i
+    return b
+
+
+def sign_lsh_topk(
+    df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    planes: int = 8,
+    seed: int = 7,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "lsh_bucket",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: score only rows whose LSH bucket is the
+    query's bucket or within Hamming distance covered by ``probes``.
+
+    probes=1 → exact-bucket only (1/2^planes of the data); probes=1+p
+    additionally flips the p "least confident" bits one at a time —
+    the standard multi-probe LSH recall/coverage dial.  ``df`` must
+    already carry ``bucket_col`` (``sign_lsh_bucket``); at 100 TB the
+    table is partitioned by it, so the IN-filter is partition pruning,
+    not a scan.
+    """
+    qb = _project_bucket(qvec, planes, seed)
+    # flip order: planes whose projection magnitude is smallest are the
+    # least confident signs → their flips are the best probe candidates
+    mags = []
+    for i, plane in enumerate(_hyperplane(seed, planes, len(qvec))):
+        dot = sum(float(x) * y for x, y in zip(qvec, plane))
+        mags.append((abs(dot), i))
+    flips = [i for _, i in sorted(mags)]
+    buckets = [qb] + [qb ^ (1 << i) for i in flips[: max(probes - 1, 0)]]
+    pruned = df.filter(F.col(bucket_col).isin(sorted(set(buckets))))
+    return cosine_topk(pruned, qvec, k, id_col, vec_col, round_to=round_to)
+
+
 def _hyperplane(seed: int, planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 bytes → [-1, 1]."""
     out = []
@@ -127,4 +173,10 @@ def sign_lsh_bucket(
     return df.withColumn(out_col, bucket.cast("int"))
 
 
-__all__ = ["cosine_topk", "bucketed_topk", "sign_lsh_bucket"]
+__all__ = [
+    "MAX_LITERAL_DIM",
+    "cosine_topk",
+    "bucketed_topk",
+    "sign_lsh_bucket",
+    "sign_lsh_topk",
+]
