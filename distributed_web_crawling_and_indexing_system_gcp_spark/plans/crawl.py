@@ -416,15 +416,21 @@ def run_round(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # consumed by frontier append + seen update + metrics
-    fresh = fresh.persist()
-    # WARM THE CACHE CHAIN with one linear job: fresh depends on new_batch
-    # which depends on windowed, so this single count populates all three
-    # persisted subtrees in dependency order.  Without it, the round's one
-    # big materialization (a union of many branches) lets several AQE leaf
-    # stages start CONCURRENTLY, each racing to compute the same uncached
-    # subtree — measured ~+900 s of duplicated CPU per 60k-page crawl.
-    fresh.count()
+    # ADAPTIVE cache-chain warm-up: one linear count that populates the
+    # windowed→new_batch→fresh persisted subtrees in dependency order
+    # before the multi-branch round materialization.  The hazard it
+    # guards against — concurrent AQE leaf stages racing to compute a
+    # shared uncached subtree, each paying the full recompute — only
+    # bites when MANY stages launch concurrently.  Interleaved A/B
+    # (tools/ab_crawl.py, 60k pages): at local[2]/local[8] the warm-up
+    # job is pure overhead (skip = 5-20% faster); at local[32] the race
+    # is real (warm-up = 35% faster, 126 s vs 193 s).  So it keys on
+    # session parallelism, overridable via extra["warmup"].
+    warmup = cfg.extra.get("warmup")
+    if warmup is None:
+        warmup = spark.sparkContext.defaultParallelism >= 16
+    if warmup:
+        fresh.count()
     new_frontier = fresh.select(
         F.col("canonical_url").alias("url"),  # children enqueue normalized
         F.col("canonical_url"),
