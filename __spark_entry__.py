@@ -399,6 +399,15 @@ def _q_term_stats(spark, sf_dir):
     )
 
 
+def _q_search_bm25(spark, sf_dir):
+    # the reference's actual relevance scorer: ES multi_match defaults to
+    # BM25 (UI/main.py:549-562).  Closed-form over (tf, df, dl, avgdl) —
+    # DuckDB-expressible, so this is a hash-checked oracle row.
+    p = _q_postings(spark, sf_dir)
+    out = SE.search_bm25(p, ["spark", "window", "merge"], k=10)
+    return out.select("doc", F.round("score", 6).alias("score"), "rank")
+
+
 def _q_search_topk(spark, sf_dir):
     p = _q_postings(spark, sf_dir)
     return SE.search_topk(p, ["spark", "window", "merge"], k=10).withColumn(
@@ -414,8 +423,11 @@ def _q_search_partitioned(spark, sf_dir):
     import hashlib
     import tempfile
 
+    # keyed by fixture dir AND applicationId: two concurrent sessions over
+    # the same fixture must not race on the overwrite (ADVICE r3)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/dwcis_pindex_{tag}"
+    app = spark.sparkContext.applicationId
+    path = f"{tempfile.gettempdir()}/dwcis_pindex_{tag}_{app}"
     SE.save_postings_partitioned(
         _q_postings(spark, sf_dir), path, num_buckets=16
     )
@@ -560,9 +572,11 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    """Multi-probe sign-LSH ANN (non-SQL: the md5-derived hyperplanes are
-    not expressible in DuckDB — rows-only driver check; exact parity vs
-    numpy lives in tests/test_similarity.py)."""
+    """Multi-probe sign-LSH ANN.  Oracle-checked since r4: the md5-derived
+    hyperplanes are deterministic constants, so oracle_sql() bakes them
+    into the DuckDB query as DOUBLE[] literals and reproduces bucketing +
+    probe selection with list_dot_product (plus the numpy parity tests in
+    tests/test_similarity.py)."""
     e = _t(spark, sf_dir, "embeddings")
     qvec, _ = _query_vector(spark, sf_dir)
     b = SIM.sign_lsh_bucket(e, dim=len(qvec), planes=6, seed=7)
@@ -718,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "spans_interleave": _q_spans_interleave,
         "search_tfidf": _q_search_tfidf,
+        "search_bm25": _q_search_bm25,
         "postings": _q_postings,
         "term_stats": _q_term_stats,
         "search_topk": _q_search_topk,
@@ -733,7 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_ivf": _q_ann_ivf,
-        "ann_lsh": _q_ann_lsh,  # non-SQL: rows-only check
+        "ann_lsh": _q_ann_lsh,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
@@ -768,6 +783,23 @@ def oracle_sql() -> dict[str, str]:
     bands_sql = " UNION ALL ".join(
         f"SELECT doc, {b} AS band_idx, md5(concat(m{2*b}, '|', m{2*b+1})) AS band_hash FROM mh"
         for b in range(4)
+    )
+
+    # sign-LSH oracle (ADVICE r3 item 6): the hyperplanes are deterministic
+    # md5-derived constants, so bake them into the SQL as literal DOUBLE[]
+    # and reproduce bucketing + multi-probe selection with list_dot_product.
+    # Must mirror _q_ann_lsh exactly: planes=6, seed=7, probes=3, dim=64.
+    _planes = SIM._hyperplane(seed=7, planes=6, dim=64)
+    _h_lit = [
+        "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]" for vals in _planes
+    ]
+    lsh_row_bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_h_lit[p]}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(6)
+    )
+    lsh_qd = " UNION ALL ".join(
+        f"SELECT {p} AS p, list_dot_product((SELECT qv FROM q), {_h_lit[p]}) AS d"
+        for p in range(6)
     )
 
     return {
@@ -964,6 +996,34 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT doc, score, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10
         """,
+        # Lucene-form BM25 (k1=1.2, b=0.75): idf = ln(1+(N-df+.5)/(df+.5)),
+        # dl = per-doc token count from the postings, N/avgdl over docs
+        # with >=1 token -- mirrors operators/search.py::search_bm25
+        "search_bm25": f"""
+            {toks_cte},
+            p AS (SELECT tok AS term, doc_id AS doc, count(*) AS tf
+                  FROM (SELECT doc_id, unnest(l) AS tok FROM tok) GROUP BY 1, 2),
+            dlen AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc),
+            stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dlen),
+            dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM p
+                      WHERE term IN ('spark', 'window', 'merge') GROUP BY term),
+            s AS (SELECT p.doc,
+                         sum(ln(1.0 + ((SELECT n FROM stats) - dfreq.df + 0.5)
+                                      / (dfreq.df + 0.5))
+                             * p.tf * 2.2
+                             / (p.tf + 1.2 * (0.25 + 0.75 * dlen.dl
+                                              / (SELECT avgdl FROM stats)))
+                            ) AS score
+                  FROM p
+                  JOIN dfreq ON p.term = dfreq.term
+                  JOIN dlen ON p.doc = dlen.doc
+                  GROUP BY p.doc),
+            r AS (SELECT doc, score AS raw_score,
+                         row_number() OVER (ORDER BY score DESC, doc ASC) AS rn
+                  FROM s)
+            SELECT doc, round(raw_score, 6) AS score, CAST(rn AS INTEGER) AS rank
+            FROM r WHERE rn <= 10
+        """,
         # bucket pruning never changes results (buckets not containing the
         # query terms contribute no hits) — the oracle is the plain search
         "search_partitioned": f"""
@@ -1097,6 +1157,25 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT vec_id AS id,
                          round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
                   FROM embeddings WHERE label = (SELECT ql FROM q)),
+            r AS (SELECT id, cosine,
+                         row_number() OVER (ORDER BY cosine DESC, id ASC) AS rn FROM s)
+            SELECT id, cosine, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10
+        """,
+        # multi-probe sign-LSH: hyperplanes baked in as DOUBLE[] literals
+        # (deterministic md5 constants — see oracle_sql preamble); probe set
+        # = exact bucket + the 2 lowest-|dot| bit flips, as sign_lsh_topk
+        "ann_lsh": f"""
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            qd AS ({lsh_qd}),
+            qb AS (SELECT CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS b FROM qd),
+            flips AS (SELECT p FROM qd ORDER BY abs(d), p LIMIT 2),
+            buckets AS (SELECT b FROM qb
+                        UNION SELECT xor(qb.b, (1::BIGINT << flips.p)) FROM qb, flips),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            eb AS (SELECT vec_id, v, {lsh_row_bucket} AS bucket FROM e),
+            s AS (SELECT vec_id AS id,
+                         round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+                  FROM eb WHERE bucket IN (SELECT b FROM buckets)),
             r AS (SELECT id, cosine,
                          row_number() OVER (ORDER BY cosine DESC, id ASC) AS rn FROM s)
             SELECT id, cosine, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 10

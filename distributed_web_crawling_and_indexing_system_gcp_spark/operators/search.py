@@ -66,6 +66,62 @@ def search_topk(
     return topk_ranked(scored, [F.col("score").desc(), F.col("doc").asc()], k)
 
 
+def doc_lengths(postings: DataFrame) -> DataFrame:
+    """(doc, dl): token count per document, derived from the postings
+    themselves (dl = Σ tf).  At index scale this is a persisted side table
+    (Lucene's per-doc norms), not recomputed per query."""
+    return postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+
+
+def search_bm25(
+    postings: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doclens: DataFrame | None = None,
+) -> DataFrame:
+    """(doc, score, rank) under BM25 — the scorer behind the reference's
+    Elasticsearch ``multi_match`` search (ES default similarity; the UI
+    query at /root/reference/src/UI/main.py:549-562 never overrides it):
+
+        score(D,Q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)     = ln(1 + (N − df + 0.5) / (df + 0.5))      (Lucene form)
+
+    with N = number of indexed docs, dl = doc token count, avgdl the corpus
+    mean.  Entirely closed-form over (tf, df, dl, avgdl) — no UDF; the
+    whole query is Catalyst expressions + one TakeOrderedAndProject.
+
+    Scale: the query-term join is a broadcast of |Q| rows; df/N/avgdl are
+    tiny aggregates (broadcast back); the only per-doc join is
+    hits ⋈ doclens, which at index scale hits a persisted doc-norms side
+    table instead of the on-the-fly ``doc_lengths`` fallback.
+    """
+    if doclens is None:
+        doclens = doc_lengths(postings)
+    stats = doclens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = postings.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    )
+    hits = postings.join(F.broadcast(terms), "term")
+    df_ = hits.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    hits = (
+        hits.join(F.broadcast(df_), "term")
+        .join(doclens, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    w = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + F.lit(k1) * norm)
+    scored = hits.withColumn("w", w).groupBy("doc").agg(F.sum("w").alias("score"))
+    return topk_ranked(scored, [F.col("score").desc(), F.col("doc").asc()], k)
+
+
 def save_postings_partitioned(
     postings: DataFrame, path: str, num_buckets: int = 64
 ) -> None:
@@ -177,6 +233,8 @@ def export_page(df: DataFrame, sort_col: str, offset: int, size: int) -> DataFra
 
 __all__ = [
     "build_postings",
+    "doc_lengths",
+    "search_bm25",
     "search_topk",
     "search_snippets",
     "url_search",

@@ -78,7 +78,12 @@ METRICS_SCHEMA = (
     "partition_id int, round int"
 )
 
-_RUN_SEQ = 0  # distinguishes scratch dirs of multiple run_crawl calls
+# distinguishes scratch dirs of multiple run_crawl calls; itertools.count's
+# next() is atomic under the GIL, so threads racing run_crawl in one session
+# can never draw the same suffix (ADVICE r3)
+import itertools as _itertools
+
+_RUN_SEQ = _itertools.count(1)
 
 
 @dataclass
@@ -660,11 +665,9 @@ def run_crawl(
     # per-INVOCATION suffix: two run_crawl calls in one session must not
     # collide — the second would overwrite fetched_r* parquet the first
     # run's returned (lazy) DataFrames still reference
-    global _RUN_SEQ
-    _RUN_SEQ += 1
     scratch = cfg.extra.get(
         "scratch",
-        f"{_managed}/crawl-{spark.sparkContext.applicationId}-{_RUN_SEQ}",
+        f"{_managed}/crawl-{spark.sparkContext.applicationId}-{next(_RUN_SEQ)}",
     )
 
     # Optional: pre-hash-partition web_pages on the join key so each

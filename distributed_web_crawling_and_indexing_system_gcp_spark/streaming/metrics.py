@@ -97,8 +97,9 @@ def task_progress_stateful(stream: DataFrame) -> DataFrame:
             crawled += int(cnt[ev == "url_crawled"].sum())
             indexed += int(cnt[ev == "url_indexed"].sum())
             scheduled += int(cnt[ev == "urls_scheduled"].sum())
-            if len(pdf):
-                last_round = max(last_round, int(pdf["round"].max()))
+            rounds = pdf["round"].dropna()
+            if not rounds.empty:  # all-null round batch: int(NaN) raises
+                last_round = max(last_round, int(rounds.max()))
         state.update((crawled, indexed, scheduled, last_round))
         yield pd.DataFrame(
             [

@@ -44,6 +44,46 @@ def test_search_tfidf_downweights_common_terms(spark, postings):
     assert got["u1"] > got["u2"]
 
 
+def test_search_bm25_matches_closed_form(spark, postings):
+    """BM25 scores equal a hand-computed closed form (k1=1.2, b=0.75,
+    Lucene idf) and the top-k plan stays TakeOrderedAndProject."""
+    import math
+
+    rows = SE.search_bm25(postings, ["spark", "window"], k=4).collect()
+    got = {r["doc"]: r["score"] for r in rows}
+
+    # corpus: dl u1=5, u2=3, u3=3, u4=3 → N=4, avgdl=3.5
+    n, avgdl, k1, b = 4, 3.5, 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp_u1 = bm25(3, 1, 5) + bm25(1, 2, 5)  # spark df=1, window df=2
+    exp_u2 = bm25(2, 2, 3)
+    assert got["u1"] == pytest.approx(exp_u1, rel=1e-9)
+    assert got["u2"] == pytest.approx(exp_u2, rel=1e-9)
+    assert set(got) == {"u1", "u2"}
+
+    plan = (
+        SE.search_bm25(postings, ["spark"], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, same df: the shorter document must score higher (the
+    length-normalization property TF/TF-IDF lack)."""
+    docs = spark.createDataFrame(
+        [("short", "cat dog"), ("long", "cat dog " + "filler " * 20)],
+        "doc_id string, text string",
+    )
+    p = SE.build_postings(docs, "doc_id", "text")
+    got = {r["doc"]: r["score"] for r in SE.search_bm25(p, ["cat"], k=2).collect()}
+    assert got["short"] > got["long"]
+
+
 def test_url_search_and_export(spark):
     seen = spark.createDataFrame(
         [(f"http://h{i % 3}.test/p/{i}",) for i in range(30)], "url string"
