@@ -171,6 +171,77 @@ def fetch_over_network(
     return batch.groupBy(host_col, salt_col).applyInPandas(fetch_group, out_schema)
 
 
+def requests_fetcher(
+    timeout_s: float = 10.0,
+    user_agent: str | None = None,
+    url_rewrite=None,
+    url_restore=None,
+):
+    """Build the PRODUCTION ``fetcher`` over a real ``requests.Session`` —
+    the reference crawler's request verbatim (crawler_node.py:270-285):
+    ``session.get(url, timeout=..., headers={'User-Agent': UA},
+    allow_redirects=True)``; outcomes map to the engine's status codes:
+    timeout → -1 (retryable), connection error → -2, HTTP status otherwise
+    (``classify_fetch`` routes ≥400 to error exactly like
+    ``raise_for_status``).  ``html`` is only captured for 2xx HTML
+    responses — the reference never reads non-HTML bodies
+    (crawler_node.py:378-381).
+
+    ``url_rewrite``/``url_restore`` are optional proxy-style hooks mapping
+    the crawl-space URL to a transport URL and the transport final URL
+    back (used by the loopback-server tests, where ``hN.test`` hosts ride
+    a ``127.0.0.1`` socket path prefix); production passes neither.
+
+    The returned closure pickles to executors; the Session is created
+    lazily per worker process (sockets cannot cross the pickle boundary).
+    """
+    import time as _time
+
+    ua = user_agent or _default_ua()
+    state: dict = {}
+
+    def fetch(url: str) -> dict:
+        import requests
+
+        session = state.get("s")
+        if session is None:
+            session = state["s"] = requests.Session()
+        target = url_rewrite(url) if url_rewrite is not None else url
+        t0 = _time.monotonic()
+        try:
+            r = session.get(
+                target,
+                timeout=timeout_s,
+                headers={"User-Agent": ua},
+                allow_redirects=True,
+            )
+        except requests.Timeout:
+            return {"final_url": None, "http_status": -1, "content_type": None,
+                    "html": None, "fetch_ms": None}
+        except requests.RequestException:
+            return {"final_url": None, "http_status": -2, "content_type": None,
+                    "html": None, "fetch_ms": None}
+        ms = int((_time.monotonic() - t0) * 1000)
+        final = url_restore(r.url) if url_restore is not None else r.url
+        ctype = r.headers.get("Content-Type")
+        ok_html = 200 <= r.status_code < 300 and "html" in (ctype or "").lower()
+        return {
+            "final_url": final,
+            "http_status": r.status_code,
+            "content_type": ctype,
+            "html": r.text if ok_html else None,
+            "fetch_ms": ms,
+        }
+
+    return fetch
+
+
+def _default_ua() -> str:
+    from ..operators.robots import USER_AGENT
+
+    return USER_AGENT
+
+
 def fixture_fetcher(web_rows: dict[str, dict]):
     """A ``fetcher`` backed by a collected web-fixture dict — semantically
     identical to ``fetch_synthetic`` (unknown URL ⇒ unreachable, -2), used
@@ -260,6 +331,7 @@ __all__ = [
     "fetch_synthetic",
     "classify_fetch",
     "fetch_over_network",
+    "requests_fetcher",
     "fixture_fetcher",
     "iter_fetch_batches",
     "iter_paced_rows",

@@ -97,6 +97,50 @@ def test_url_search_and_export(spark):
     assert [r["url"] for r in page] == all_sorted[10:17]
 
 
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_postings_equal_full_rebuild(spark, tmp_path):
+    """Segmented append + read-time merge == full rebuild from the latest
+    document versions, across a 2-round re-crawl; compaction preserves it
+    and physically drops shadowed rows."""
+    idx = str(tmp_path / "seg_index")
+    round0 = spark.createDataFrame(
+        [("u1", "spark window merge"), ("u2", "window table"), ("u3", "scan")],
+        "doc_id string, text string",
+    )
+    # u2 re-crawled with entirely new text (loses 'window' — the term that
+    # makes doc-version resolution global, not per-bucket); u4 is new
+    round1 = spark.createDataFrame(
+        [("u2", "bloom filter bloom"), ("u4", "spark scan")],
+        "doc_id string, text string",
+    )
+    SE.append_postings_segment(SE.build_postings(round0, "doc_id", "text"), idx, seg=0, num_buckets=4)
+    SE.append_postings_segment(SE.build_postings(round1, "doc_id", "text"), idx, seg=1, num_buckets=4)
+
+    latest_docs = spark.createDataFrame(
+        [("u1", "spark window merge"), ("u2", "bloom filter bloom"),
+         ("u3", "scan"), ("u4", "spark scan")],
+        "doc_id string, text string",
+    )
+    full = SE.build_postings(latest_docs, "doc_id", "text")
+    merged = SE.read_postings_merged(spark, idx).select("term", "doc", "tf")
+    assert _rows(merged) == _rows(full)
+
+    # stale-posting check through the pruned query path: 'window' must no
+    # longer hit u2 even if u2's new terms avoid 'window's bucket
+    hits = SE.search_partitioned(spark, idx, ["window"], k=10, num_buckets=4)
+    assert {r["doc"] for r in hits.collect()} == {"u1"}
+
+    SE.compact_postings(spark, idx, num_buckets=4)
+    compacted = spark.read.parquet(idx)
+    assert _rows(compacted.select("term", "doc", "tf")) == _rows(full)
+    assert compacted.select("seg").distinct().collect()[0][0] == 0
+    hits2 = SE.search_partitioned(spark, idx, ["window"], k=10, num_buckets=4)
+    assert {r["doc"] for r in hits2.collect()} == {"u1"}
+
+
 def test_topk_plan_is_distributed(spark, postings):
     """The top-k finisher must compile to TakeOrderedAndProject (distributed
     partial top-k), never an unpartitioned Window over the full scored
