@@ -72,3 +72,64 @@ def test_empty_and_null(spark):
     assert by_id["a"]["spans"] == []
     assert by_id["a"]["text"] == ""
     assert by_id["b"]["spans"] is None
+
+
+def _slow_parse(html: str):
+    """Reference semantics: the exact HTMLParser path, bypassing the fast
+    tokenizer."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.functions.html import (
+        _SpanParser,
+    )
+
+    p = _SpanParser()
+    p.feed(html)
+    p.close()
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (k, t, m) in enumerate(p.spans)
+    ]
+
+
+def test_fast_parse_matches_htmlparser():
+    """The regex fast path must be span-for-span identical to HTMLParser on
+    everything it accepts, and must decline (fall back) on constructs it
+    cannot model — either way parse_html_one == the HTMLParser stream."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.functions.html import (
+        _parse_fast,
+    )
+    from distributed_web_crawling_and_indexing_system_gcp_spark.sources import webgen
+
+    cases = [
+        HTML,
+        # fixture pages, incl. polluted hrefs / trailing-slash / fragments
+        *[webgen._html_for(i, 50, 8, richness=2) for i in range(50)],
+        # entity soup in text and attributes
+        '<p>AT&amp;T &lt;3 &#65;</p><a href="/x?a=1&amp;b=2">e</a>',
+        # uppercase tags and attr names, self-closing img
+        '<A HREF="/up">U</A><IMG SRC="/i.png"/>',
+        # img without src / a without href
+        "<a>plain</a><img alt='x'><p>tail</p>",
+        # whitespace-only runs
+        "<p>  </p>\n\n<p>x</p>",
+        # bare markup-ish text → fallback territory
+        "<p>a < b</p>",
+        "tail text with <p>inner</p> trailing <",
+        "<!-- comment --><a href='/q'>q</a>",
+        "<script>var x = '<a href=\"/no\">';</script><p>after</p>",
+        "<a href='/single'>single-quoted</a>",
+        "<a href=/unquoted>unquoted</a>",
+        '<a href="/one" href="/two">dup</a>',
+        "",
+    ]
+    declined = 0
+    for html in cases:
+        want = _slow_parse(html)
+        got = parse_html_one(html)
+        assert got == want, html[:120]
+        if _parse_fast(html) is None:
+            declined += 1
+    assert declined >= 6  # the guard really routes tricky docs to HTMLParser
+
+    # and the fixture pages all take the fast path (that's the point)
+    for i in range(20):
+        assert _parse_fast(webgen._html_for(i, 50, 8)) is not None
