@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def setup_crawl(spark, n_pages: int, depth: int = 1, richness: int = 64,
-                seed_every: int = 2):
+                seed_every: int = 2, zipf_s: float | None = None):
     """Build (and fully materialize) the synthetic closed-world web plus
     robots/seed fixtures.  This is the *environment* (the internet), not
     the engine — the scaling bench times only the crawl itself.
@@ -42,14 +42,24 @@ def setup_crawl(spark, n_pages: int, depth: int = 1, richness: int = 64,
     n_hosts = 64
     # cache: the fetch join touches web_pages every round; without caching
     # the generator UDF re-renders the whole synthetic web per action
-    web = webgen.make_web_pages(spark, n_pages, n_hosts, richness).persist()
+    web = webgen.make_web_pages(
+        spark, n_pages, n_hosts, richness, zipf_s=zipf_s
+    ).persist()
     web.count()
     robots = webgen.make_robots_src(spark, n_hosts)
+    if zipf_s is not None:
+        def host_fn(i, nh):
+            return webgen.zipf_host_of(i, nh, zipf_s)
+    else:
+        host_fn = webgen.host_of
     seeds = spark.createDataFrame(
         [
             (
                 "bench-job",
-                [webgen.url_of(i, n_hosts) for i in range(0, n_pages, seed_every)],
+                [
+                    webgen.url_of(i, n_hosts, host_fn)
+                    for i in range(0, n_pages, seed_every)
+                ],
                 depth,
                 None,
             )

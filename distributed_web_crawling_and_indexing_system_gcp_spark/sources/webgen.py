@@ -31,38 +31,65 @@ def host_of(i: int, n_hosts: int) -> int:
     return 0 if i % HOT_HOST_SHARE == 0 else 1 + (i * 5 + 3) % (n_hosts - 1)
 
 
-def url_of(i: int, n_hosts: int) -> str:
-    h = host_of(i, n_hosts)
+def _zipf_cum(n_hosts: int, s: float) -> list[float]:
+    w = [1.0 / (h + 1) ** s for h in range(n_hosts)]
+    tot = sum(w)
+    cum, acc = [], 0.0
+    for x in w:
+        acc += x / tot
+        cum.append(acc)
+    return cum
+
+
+_ZIPF_CACHE: dict[tuple[int, float], list[float]] = {}
+
+
+def zipf_host_of(i: int, n_hosts: int, s: float = 1.2) -> int:
+    """Zipf-distributed host id: host rank h gets share ∝ 1/(h+1)^s —
+    the real-web long tail (host 0 ≈ 35-45% of pages at s=1.2, 8 hosts).
+    Deterministic pure function of ``i`` (Knuth multiplicative hash →
+    inverse-CDF), so the skewed web is as replayable as the uniform one."""
+    cum = _ZIPF_CACHE.get((n_hosts, s))
+    if cum is None:
+        cum = _ZIPF_CACHE[(n_hosts, s)] = _zipf_cum(n_hosts, s)
+    u = ((i * 2654435761) & 0xFFFFFFFF) / 2.0**32
+    import bisect
+
+    return bisect.bisect_right(cum, u)
+
+
+def url_of(i: int, n_hosts: int, host_fn=host_of) -> str:
+    h = host_fn(i, n_hosts)
     if i % 13 == 5:
         return f"http://h{h}.test/private/{i}"
     return f"http://h{h}.test/p/{i}"
 
 
-def _links_for(i: int, n: int, n_hosts: int) -> list[str]:
+def _links_for(i: int, n: int, n_hosts: int, host_fn=host_of) -> list[str]:
     """Raw hrefs embedded in page i, document order."""
     # j3 = i+21 stays on the SAME host away from wrap (21 ≡ 0 mod 7 and
     # mod 3), so the host-relative link below is usually alive
     j1, j2, j3 = (i * 2 + 1) % n, (i * 3 + 5) % n, (i + 21) % n
     j4, j5 = (i * 5 + 2) % n, (i * 7 + 11) % n
-    u2 = url_of(j2, n_hosts)
+    u2 = url_of(j2, n_hosts, host_fn)
     links = [
-        url_of(j1, n_hosts),                       # absolute
-        "/" + "/".join(url_of(j3, n_hosts).split("/")[3:]),  # host-relative
+        url_of(j1, n_hosts, host_fn),              # absolute
+        "/" + "/".join(url_of(j3, n_hosts, host_fn).split("/")[3:]),  # host-relative
         u2.upper().replace("HTTP://", "http://"),  # uppercase host+path dup
-        url_of(j4, n_hosts),                       # absolute
-        url_of(j5, n_hosts),                       # absolute
+        url_of(j4, n_hosts, host_fn),              # absolute
+        url_of(j5, n_hosts, host_fn),              # absolute
     ]
     if i % 4 == 0:
-        links.append(url_of(j1, n_hosts) + "/")    # trailing-slash dup
+        links.append(url_of(j1, n_hosts, host_fn) + "/")    # trailing-slash dup
     if i % 5 == 0:
-        links.append(url_of(j2, n_hosts) + "#sec") # fragment dup
+        links.append(url_of(j2, n_hosts, host_fn) + "#sec") # fragment dup
     if i % 6 == 0:
-        links.append("\n" + url_of(j3, n_hosts) + "  ")  # polluted href
+        links.append("\n" + url_of(j3, n_hosts, host_fn) + "  ")  # polluted href
     if i % 7 == 0:
         links.append("mailto:admin@h0.test")       # filtered scheme
         links.append("javascript:void(0)")         # filtered scheme
     if i % 9 == 0:
-        links.append(f"http://h{host_of(i, n_hosts)}.test/missing/{i}")  # off-world
+        links.append(f"http://h{host_fn(i, n_hosts)}.test/missing/{i}")  # off-world
     if i % 11 == 0:
         links.append("#top")                       # self fragment
     return links
@@ -74,7 +101,7 @@ _WORDS = (
 ).split()
 
 
-def _html_for(i: int, n: int, n_hosts: int, richness: int = 1) -> str:
+def _html_for(i: int, n: int, n_hosts: int, richness: int = 1, host_fn=host_of) -> str:
     """``richness`` scales page weight (paragraphs + extra cross links)
     without changing the base link structure the parity tests pin down —
     richness=1 is the test fixture; the bench uses heavier pages so parse
@@ -82,10 +109,10 @@ def _html_for(i: int, n: int, n_hosts: int, richness: int = 1) -> str:
     words = " ".join(_WORDS[(i + k) % len(_WORDS)] for k in range(10))
     parts = [
         f"<html><head><title>Page {i}</title></head><body>",
-        f"<h1>Page {i} on h{host_of(i, n_hosts)}</h1>",
+        f"<h1>Page {i} on h{host_fn(i, n_hosts)}</h1>",
         f"<p>{words}</p>",
     ]
-    for pos, href in enumerate(_links_for(i, n, n_hosts)):
+    for pos, href in enumerate(_links_for(i, n, n_hosts, host_fn)):
         parts.append(f'<a href="{href}">link {pos}</a>')
         if pos % 2 == 0:
             parts.append(f"<span>between {i} {pos}</span>")
@@ -96,23 +123,36 @@ def _html_for(i: int, n: int, n_hosts: int, richness: int = 1) -> str:
             _WORDS[(i * 7 + r * 13 + k) % len(_WORDS)] for k in range(40)
         )
         parts.append(f"<p>{para}</p>")
-        parts.append(f'<a href="{url_of((i * 11 + r * 29 + 1) % n, n_hosts)}">x{r}</a>')
+        parts.append(f'<a href="{url_of((i * 11 + r * 29 + 1) % n, n_hosts, host_fn)}">x{r}</a>')
         parts.append(f'<img src="/img/{i}_{r}_extra.png">')
     parts.append("</body></html>")
     return "\n".join(parts)
 
 
 def make_web_pages(
-    spark: SparkSession, n_pages: int, n_hosts: int = 8, richness: int = 1
+    spark: SparkSession, n_pages: int, n_hosts: int = 8, richness: int = 1,
+    zipf_s: float | None = None,
 ) -> DataFrame:
     """(url, final_url, status, content_type, html, fetch_ms) — the
-    closed-world fetch oracle, generated executor-side."""
+    closed-world fetch oracle, generated executor-side.
+
+    ``zipf_s``: when set, hosts follow a Zipf(s) long-tail distribution
+    (``zipf_host_of``) instead of the default hot-host split — the skewed-
+    host fixture for proving the salted politeness window holds at
+    real-web skew (VERDICT r3 #7)."""
+    if zipf_s is not None:
+        _s = float(zipf_s)
+
+        def host_fn(i: int, nh: int) -> int:
+            return zipf_host_of(i, nh, _s)
+    else:
+        host_fn = host_of
 
     def gen(idx: pd.Series) -> pd.DataFrame:
         rows = []
         for i in idx:
             i = int(i)
-            u = url_of(i, n_hosts)
+            u = url_of(i, n_hosts, host_fn)
             status, ctype, html = 200, "text/html; charset=utf-8", None
             final = u
             if i % 97 == 3:
@@ -124,7 +164,7 @@ def make_web_pages(
             else:
                 if i % 61 == 13:
                     final = u + "?canonical=1"  # redirect
-                html = _html_for(i, n_pages, n_hosts, richness)
+                html = _html_for(i, n_pages, n_hosts, richness, host_fn)
             rows.append(
                 {
                     "url": u,
@@ -192,4 +232,7 @@ def make_seed_jobs(spark: SparkSession, n_hosts: int = 8, depth: int = 3) -> Dat
     )
 
 
-__all__ = ["make_web_pages", "make_robots_src", "make_seed_jobs", "url_of", "host_of"]
+__all__ = [
+    "make_web_pages", "make_robots_src", "make_seed_jobs",
+    "url_of", "host_of", "zipf_host_of",
+]

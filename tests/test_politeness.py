@@ -60,3 +60,31 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, select_polite_batch(f, BUDGET, 4, order_cols=("depth", "url")).collect()))
     b = sorted(map(tuple, select_polite_batch(f.repartition(3), BUDGET, 4, order_cols=("depth", "url")).collect()))
     assert a == b
+
+
+def test_zipf_host_distribution():
+    """The Zipf fixture variant: deterministic, long-tailed, all hosts in
+    range — the skew shape the salted-politeness bench rep crawls."""
+    from collections import Counter
+
+    from distributed_web_crawling_and_indexing_system_gcp_spark.sources import webgen
+
+    n, hosts = 20_000, 8
+    assign = [webgen.zipf_host_of(i, hosts, 1.2) for i in range(n)]
+    assert assign == [webgen.zipf_host_of(i, hosts, 1.2) for i in range(n)]
+    counts = Counter(assign)
+    assert set(counts) <= set(range(hosts))
+    shares = [counts.get(h, 0) / n for h in range(hosts)]
+    # hot head: rank-0 host carries 30-50%; monotone-ish long tail; the
+    # tail host still gets traffic (every host exists)
+    assert 0.30 <= shares[0] <= 0.50
+    assert shares[0] > 2.5 * shares[3] > 0
+    assert counts.get(hosts - 1, 0) > 0
+    # and the web generator threads it through consistently: page url host
+    # == host of the page index under the same function
+    def host_fn(i, nh):
+        return webgen.zipf_host_of(i, nh, 1.2)
+
+    for i in (0, 5, 13, 777):
+        u = webgen.url_of(i, hosts, host_fn)
+        assert u.startswith(f"http://h{host_fn(i, hosts)}.test/")
