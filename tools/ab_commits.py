@@ -61,7 +61,11 @@ def main():
     variants = [a.split("=", 1) for a in sys.argv[4:]]
     res: dict[str, list[dict]] = {name: [] for name, _ in variants}
     for rnd in range(rounds):
-        for name, path in variants:
+        # rotate the execution order each round: a fixed order correlates
+        # each variant with a fixed position inside the host-noise window
+        # (a slow ramp poisons whichever variant always runs first)
+        order = variants[rnd % len(variants):] + variants[:rnd % len(variants)]
+        for name, path in order:
             r = run_one(path, cpus, n_pages)
             res[name].append(r)
             print(json.dumps({"round": rnd, "variant": name, **r}), flush=True)

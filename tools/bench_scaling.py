@@ -67,7 +67,14 @@ spark = build_session(app_name=f"scale{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=cpus)
 # warm the JVM/codegen/Python workers so the measurement isn't startup-dominated
 bench.crawl_workload(spark, 2000)
-web, robots, seeds = bench.setup_crawl(spark, n_pages)
+# production shape knob: a 10^10-URL frontier runs FEW, ENORMOUS rounds, so
+# the per-round driver latency (job launches, AQE planning, snapshot
+# bookkeeping) is amortized over far more pages than the default test
+# fixture's 3 medium rounds.  seed_every=1 seeds every page up front →
+# one giant fetch round + one link-dedup round: the few-big-rounds shape.
+import os as _os
+seed_every = int(_os.environ.get("SPARK_GRAFT_BENCH_SEED_EVERY", "2"))
+web, robots, seeds = bench.setup_crawl(spark, n_pages, seed_every=seed_every)
 
 # mid-leg window-quality sampler: the start-of-rep gate cannot see a noise
 # episode that begins MID-leg (legs run minutes); a background thread
