@@ -429,8 +429,96 @@ sizes) is the number this engine is designed to deliver.
 
 Generated by `python tools/bench_scaling.py {n_big} {n_small}` on {_t.strftime('%Y-%m-%d')}.
 """
+    md = _prod_section(md)
+    md += _side_sections()
     Path(out_md).parent.mkdir(parents=True, exist_ok=True)
     Path(out_md).write_text(md)
+
+
+def _prod_section(md: str) -> str:
+    """Prepend the production-shaped pair (BENCH/pair_prod.json, written
+    by a `--pair` run with SPARK_GRAFT_BENCH_SEED_EVERY=1) as the
+    NORTH-RULE HEADLINE section — it is the measurement whose input shape
+    (few, enormous rounds) matches how a 10^10-URL frontier actually
+    runs, so it goes above the protocol pairs."""
+    f = REPO / "BENCH" / "pair_prod.json"
+    if not f.exists():
+        return md
+    p = json.loads(f.read_text())
+    pr = p["pair"]
+    eff = pr["scaling_efficiency"]
+    met = "MET" if eff >= 0.8 else "NOT MET"
+    sec = f"""
+## Headline — production-shaped pair: local[2] → local[8], {p['n_pages']:,} pages, seed_every={p['seed_every']}
+
+A 10^10-URL frontier crawl runs FEW, ENORMOUS rounds; per-round driver
+latency (job launch, AQE planning, snapshot bookkeeping) is amortized
+over millions of pages per round.  This pair reproduces that shape:
+every page seeded up front → one giant fetch round + one link-dedup
+round.  Gated on a clean host window (multi-core steal probe before
+each round-pair, mid-leg single-core sampling on the record —
+`wait_clean_window` / `interleaved_pair` in tools/bench_scaling.py).
+
+{_pair_table(pr, 'local[2]', 'local[8]')}
+**Scaling efficiency (2 → 8)** = **{eff:.3f}** best-of-reps;
+median-of-rounds **{pr['median_efficiency']:.3f}**
+(per-round: {pr['per_round_efficiency']}).
+North-rule target ≥ 0.8: **{met}**.
+Measured {p.get('date', '')}; raw JSON in BENCH/pair_prod.json.
+
+"""
+    # insert right after the intro (before the first "## Pair A" section)
+    marker = "## Pair A "
+    i = md.find(marker)
+    return md[:i] + sec.lstrip("\n") + md[i:] if i >= 0 else md + sec
+
+
+def _side_sections() -> str:
+    """Optional measured-evidence appendices from BENCH/*.json files."""
+    out = []
+    skew = REPO / "BENCH" / "skew.json"
+    if skew.exists():
+        s = json.loads(skew.read_text())
+        out.append(f"""
+## Skewed-host crawl — Zipf long tail vs uniform (salting evidence)
+
+Same crawl, same page count ({s['n_pages']:,}, local[{s['cpus']}]),
+interleaved: uniform 64-host fixture vs Zipf(s=1.2) long tail (top host
+≈ 40% of pages — real-web skew).  The salted politeness window
+(host-hash × {8} salt buckets) is the mechanism under test.
+
+| fixture | pages fetched | wall s |
+|---|---|---|
+| uniform | {s['uniform_fetched']:,} | {s['uniform_sec']} |
+| Zipf s=1.2 | {s['zipf_fetched']:,} | {s['zipf_sec']} |
+
+Wall-time ratio Zipf/uniform = **{s['wall_ratio_zipf_over_uniform']}**
+(claim: ≤ ~1.2 at equal pages — {"HOLDS" if s['holds_1_2x'] else "DOES NOT HOLD"}).
+Raw JSON in BENCH/skew.json (`tools/bench_skew.py`).
+""")
+    ab = REPO / "BENCH" / "ab.json"
+    if ab.exists():
+        a = json.loads(ab.read_text())
+        rows = "\n".join(
+            f"| {name} | {v['best_sec']} | {v['median_sec']} | {v['all_sec']} |"
+            for name, v in a["summary"].items()
+        )
+        out.append(f"""
+## Cross-checkout adjudication (code vs host noise)
+
+When bench numbers move between rounds, the cause is adjudicated by an
+interleaved, ORDER-ROTATED A/B of the same workload across checkouts in
+one host-noise window (`tools/ab_commits.py` — {a.get('desc', '')}).
+Leg-level noise on this VM is ±25% even with healthy burn gates, so
+only best-of/median across rotated rounds is meaningful.
+
+| checkout | best s | median s | all legs |
+|---|---|---|---|
+{rows}
+
+{a.get('conclusion', '')}
+""")
+    return "".join(out)
 
 
 def main():
@@ -490,6 +578,7 @@ def main():
                "cpu_ceiling_pre": ceil_pre, "cpu_ceiling_post": ceil_post,
                "ceiling_2_8": round(c28, 3), "ceiling_8_32": round(c832, 3)}
     print(json.dumps(summary))
+    (REPO / "BENCH" / "summary.json").write_text(json.dumps(summary))
     render(summary, n_big, n_small, out_md)
 
 
