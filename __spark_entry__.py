@@ -74,6 +74,49 @@ sh AS (SELECT DISTINCT doc, array_to_string(l[i:i+2], ' ') AS shingle FROM idx)
 """
 
 
+# link-graph edge fixture (DuckDB side) — must mirror _graph_edges exactly
+def _graph_e_sql(sparse: bool = False) -> str:
+    m1, m2, lim = (211, 199, 120) if sparse else (97, 89, 400)
+    return (
+        f"SELECT DISTINCT doc_id % {m1} AS src, "
+        f"(doc_id * 31 + 7) % {m2} AS dst "
+        f"FROM documents WHERE doc_id < {lim} "
+        f"AND (doc_id % {m1}) <> ((doc_id * 31 + 7) % {m2})"
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (damping 0.85).
+
+    Literals are written so DuckDB performs bit-identical IEEE double ops
+    to the Spark side ((1.0 - 0.85) / n, 0.85 * inflow); the residual
+    float noise is summation order only, absorbed by ROUND(_, 6).
+    """
+    parts = [
+        f"WITH e AS ({_graph_e_sql()}),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),",
+        "deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),",
+        "r0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT v.node, "
+            "(1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn) "
+            "+ 0.85::DOUBLE * COALESCE(c.inflow, 0.0::DOUBLE) AS rank "
+            "FROM nodes v LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(p.rank / d.out_deg) AS inflow "
+            f"FROM e JOIN r{i-1} p ON e.src = p.node "
+            "JOIN deg d ON e.src = d.src GROUP BY e.dst"
+            f") c ON v.node = c.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # flagship: one crawl round over a synthetic closed-world web
 # ---------------------------------------------------------------------------
@@ -751,6 +794,61 @@ def _q_media_meta(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# link-graph analytics (PageRank / components / triangles) — the graph the
+# reference's extracted_links JSON implies but never analyses
+# (crawler_node.py:317-335); deterministic doc_id-arithmetic edge fixture
+# mirrored exactly in SQL so every query is hash-oracle-checkable.
+# ---------------------------------------------------------------------------
+
+def _graph_edges(spark, sf_dir, sparse: bool = False):
+    """Deterministic (src, dst) edges: d%m1 → (31d+7)%m2 for doc_id<lim.
+
+    Two co-prime moduli make the pair depend on the full doc_id (not one
+    residue class), giving varying in/out-degrees.  The dense fixture
+    (m=97/89, lim=400) covers every node 0..96 as a src — no dangling
+    nodes, as ``pagerank``'s mass-conservation contract wants.  The
+    ``sparse`` fixture (m=211/199, lim=120) under-fills the node space:
+    166 nodes in 47 components at sf0.01, a real multi-island test for
+    ``connected_components``.
+    """
+    m1, m2, lim = (211, 199, 120) if sparse else (97, 89, 400)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < lim)
+    return (
+        d.select(
+            (F.col("doc_id") % m1).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % m2).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _q_graph_pagerank(spark, sf_dir):
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators import (
+        linkgraph as LG,
+    )
+
+    ranks = LG.pagerank(_graph_edges(spark, sf_dir), iterations=5)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _q_graph_components(spark, sf_dir):
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators import (
+        linkgraph as LG,
+    )
+
+    return LG.connected_components(_graph_edges(spark, sf_dir, sparse=True))
+
+
+def _q_graph_triangles(spark, sf_dir):
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators import (
+        linkgraph as LG,
+    )
+
+    return LG.triangle_count(_graph_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style relational sanity (bench headliners)
 # ---------------------------------------------------------------------------
 
@@ -843,6 +941,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "fingerprint": _q_fingerprint,
         "media_meta": _q_media_meta,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_components": _q_graph_components,
+        "graph_triangles": _q_graph_triangles,
         "pricing_summary": _q_pricing_summary,
         "top_revenue": _q_top_revenue,
     }
@@ -1443,6 +1544,26 @@ def oracle_sql() -> dict[str, str]:
             ms AS (SELECT doc, min(md5(concat('1|', shingle))) AS fp_minshingle FROM sh GROUP BY doc)
             SELECT d.doc_id, md5({_NORM_SQL.replace('text', 'd.text')}) AS fp_md5, ms.fp_minshingle
             FROM documents d JOIN ms ON ms.doc = d.doc_id
+        """,
+        "graph_pagerank": _pagerank_oracle_sql(5),
+        "graph_components": f"""
+            WITH RECURSIVE e AS ({_graph_e_sql(sparse=True)}),
+            und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            reach(node, lbl) AS (
+                SELECT src AS node, src AS lbl FROM und
+                UNION
+                SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+            )
+            SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+        """,
+        "graph_triangles": f"""
+            WITH e AS ({_graph_e_sql()}),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM e WHERE src <> dst)
+            SELECT COUNT(*) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "media_meta": """
             SELECT doc_id,

@@ -1,0 +1,94 @@
+"""Link-graph operators: PageRank, connected components, triangles.
+
+Each test checks against a pure-Python reference on a small deterministic
+graph (independent of the DuckDB oracle in __spark_entry__)."""
+
+from __future__ import annotations
+
+import pytest
+
+from distributed_web_crawling_and_indexing_system_gcp_spark.operators import (
+    linkgraph as LG,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _py_pagerank(pairs, iterations=5, damping=0.85):
+    nodes = sorted({u for e in pairs for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in pairs:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d in pairs:
+            inflow[d] += rank[s] / out[s]
+        rank = {v: base + damping * inflow[v] for v in nodes}
+    return rank
+
+
+GRAPH = [
+    (1, 2), (2, 3), (3, 1),          # 3-cycle
+    (4, 1), (4, 2), (4, 3),          # hub pointing into the cycle
+    (1, 4),                          # so node 4 is not dangling
+]
+
+
+def test_pagerank_matches_python_reference(spark):
+    got = {
+        r["node"]: r["rank"]
+        for r in LG.pagerank(_edges_df(spark, GRAPH), iterations=5).collect()
+    }
+    want = _py_pagerank(GRAPH, iterations=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_sums_to_one_without_dangling(spark):
+    # no dangling nodes in GRAPH → total rank mass is conserved
+    total = sum(
+        r["rank"]
+        for r in LG.pagerank(_edges_df(spark, GRAPH), iterations=3).collect()
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_connected_components_two_islands(spark):
+    pairs = [(1, 2), (2, 3), (10, 11), (12, 11), (20, 20)]
+    labels = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(_edges_df(spark, pairs)).collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # path 0-1-2-...-9 exercises multi-round propagation (diameter 9)
+    pairs = [(i, i + 1) for i in range(9)]
+    labels = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(_edges_df(spark, pairs)).collect()
+    }
+    assert labels == {i: 0 for i in range(10)}
+
+
+def test_triangle_count(spark):
+    # K4 has 4 triangles; extra pendant edge adds none; duplicate and
+    # reversed edges must not double-count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs = k4 + [(3, 2), (1, 0), (4, 5), (0, 0)]
+    [row] = LG.triangle_count(_edges_df(spark, pairs)).collect()
+    assert row["n_triangles"] == 4
+
+
+def test_triangle_count_empty(spark):
+    [row] = LG.triangle_count(
+        _edges_df(spark, [(1, 2), (2, 3)])
+    ).collect()
+    assert row["n_triangles"] == 0
