@@ -311,6 +311,39 @@ def _q_politeness_window(spark, sf_dir):
     return out.filter(F.col("selected")).select("host", "url", "depth")
 
 
+def _q_politeness_delay(spark, sf_dir):
+    """Crawl-delay-aware politeness: per-host budgets parsed out of
+    robots.txt bodies (budget = floor(60 s / delay), engine cap 40),
+    then the same skew-proof two-phase salted selection.  The robots
+    fixture synthesizes one body per host with Crawl-delay = host
+    number % 7 (0 ⇒ directive omitted ⇒ default 1 s)."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(F.col("source").alias("host")).distinct()
+    dly = F.substring(F.col("host"), 4, 10).cast("int") % 7
+    robots = hosts.withColumn(
+        "rules_txt",
+        F.when(
+            dly > 0,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                dly.cast("string"),
+                F.lit("\nDisallow: /private/\n"),
+            ),
+        ).otherwise(F.lit("User-agent: *\nDisallow: /private/\n")),
+    )
+    budgets = PL.host_budget_from_delay(robots, round_seconds=60, max_budget=40)
+    frontier = docs.select(
+        F.col("source").alias("host"),
+        _url_col().alias("url"),
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+    )
+    out = PL.select_polite_batch_delay_aware(
+        frontier, budgets, default_budget=40, salt_buckets=4,
+        order_cols=("depth", "url"),
+    )
+    return out.filter(F.col("selected")).select("host", "url", "depth")
+
+
 def _q_oldest_eviction(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     last = ev.groupBy("user_id").agg(F.max("ts").alias("last_update"))
@@ -903,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preview_truncate": _q_preview_truncate,
         "frontier_antijoin": _q_frontier_antijoin,
         "politeness_window": _q_politeness_window,
+        "politeness_delay": _q_politeness_delay,
         "oldest_eviction": _q_oldest_eviction,
         "export_page": _q_export_page,
         "seed_dedup": _q_seed_dedup,
@@ -1126,6 +1160,22 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY host ORDER BY depth, url) AS rn
                   FROM f)
             SELECT host, url, depth FROM r WHERE rn <= 10
+        """,
+        "politeness_delay": f"""
+            WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+            b AS (SELECT host,
+                         least(CAST(floor(60.0 / greatest(
+                             CAST(CAST(substr(host, 4) AS INTEGER) % 7 AS DOUBLE),
+                             1.0)) AS INTEGER), 40) AS budget
+                  FROM hosts),
+            f AS (SELECT source AS host, {_URL_SQL} AS url,
+                         CAST(doc_id % 4 AS INTEGER) AS depth
+                  FROM documents),
+            r AS (SELECT host, url, depth,
+                         row_number() OVER (PARTITION BY host ORDER BY depth, url) AS rn
+                  FROM f)
+            SELECT r.host, r.url, r.depth
+            FROM r JOIN b ON r.host = b.host WHERE r.rn <= b.budget
         """,
         "oldest_eviction": """
             WITH l AS (SELECT user_id, max(ts) AS last_update FROM events GROUP BY user_id),

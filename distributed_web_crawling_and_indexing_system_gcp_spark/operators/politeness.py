@@ -67,4 +67,88 @@ def select_polite_batch(
     return survivors.select(cols).unionByName(overflow.select(cols))
 
 
-__all__ = ["select_polite_batch"]
+def crawl_delay_seconds(rules_col, default_delay: float = 1.0):
+    """Crawl-delay (seconds) from a robots.txt body, as a Column.
+
+    Pure-Catalyst single-group semantics: the FIRST ``Crawl-delay:``
+    directive in the file applies (the reference's synthetic robots and
+    the overwhelming majority of real robots.txt files have one
+    ``User-agent: *`` group; per-agent group resolution would need the
+    RobotFileParser UDF path in operators/robots.py).  Missing/blank
+    directive or null rules → ``default_delay``.  crawler_node.py never
+    reads Crawl-delay at all (its politeness is a flat 1 s sleep,
+    crawler_node.py:35,261) — honoring the directive is the
+    parity-plus behavior a polite production crawler needs.
+    """
+    d = F.regexp_extract(
+        rules_col, r"(?i)crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)", 1
+    )
+    return F.when(
+        rules_col.isNull() | (d == ""), F.lit(float(default_delay))
+    ).otherwise(d.cast("double"))
+
+
+def host_budget_from_delay(
+    robots_rules: DataFrame,
+    round_seconds: float,
+    default_delay: float = 1.0,
+    max_budget: int | None = None,
+    host_col: str = "host",
+    rules_col: str = "rules_txt",
+) -> DataFrame:
+    """Per-host round budget implied by Crawl-delay: ``(host, host_budget)``.
+
+    ``host_budget = floor(round_seconds / max(crawl_delay, default_delay))``
+    — the number of fetches a host allows inside one round window —
+    optionally clamped by ``max_budget`` (the engine-wide cap).  A tiny
+    per-host dimension (one row per host), always broadcast at the join.
+    """
+    delay = F.greatest(
+        crawl_delay_seconds(F.col(rules_col), default_delay),
+        F.lit(float(default_delay)),
+    )
+    b = F.floor(F.lit(float(round_seconds)) / delay).cast("int")
+    if max_budget is not None:
+        b = F.least(b, F.lit(int(max_budget)))
+    return robots_rules.select(F.col(host_col).alias(host_col), b.alias("host_budget"))
+
+
+def select_polite_batch_delay_aware(
+    frontier: DataFrame,
+    host_budgets: DataFrame,
+    default_budget: int,
+    salt_buckets: int = 16,
+    host_col: str = "host",
+    order_cols: tuple[str, ...] = ("priority", "url"),
+) -> DataFrame:
+    """``select_polite_batch`` with a PER-HOST budget column instead of a
+    constant — the same skew-proof two-phase window (the containment
+    proof in the module docstring holds per host for any per-host k).
+    Hosts absent from ``host_budgets`` fall back to ``default_budget``.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    f = frontier.join(F.broadcast(host_budgets), host_col, "left").withColumn(
+        "_budget", F.coalesce(F.col("host_budget"), F.lit(int(default_budget)))
+    )
+    salted = f.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets)).cast("int")
+    )
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order)
+    phase1 = salted.withColumn("_r1", F.row_number().over(w1))
+    w2 = Window.partitionBy(host_col).orderBy(*order)
+    survivors = phase1.filter(F.col("_r1") <= F.col("_budget")).withColumn(
+        "selected", F.row_number().over(w2) <= F.col("_budget")
+    )
+    overflow = phase1.filter(F.col("_r1") > F.col("_budget")).withColumn(
+        "selected", F.lit(False)
+    )
+    cols = [*frontier.columns, "selected"]
+    return survivors.select(cols).unionByName(overflow.select(cols))
+
+
+__all__ = [
+    "select_polite_batch",
+    "crawl_delay_seconds",
+    "host_budget_from_delay",
+    "select_polite_batch_delay_aware",
+]

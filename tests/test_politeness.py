@@ -88,3 +88,95 @@ def test_zipf_host_distribution():
     for i in (0, 5, 13, 777):
         u = webgen.url_of(i, hosts, host_fn)
         assert u.startswith(f"http://h{host_fn(i, hosts)}.test/")
+
+
+# ---------------------------------------------------------------------------
+# crawl-delay-aware budgets
+# ---------------------------------------------------------------------------
+
+def test_crawl_delay_parsing(spark):
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators.politeness import (
+        crawl_delay_seconds,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("a", "User-agent: *\nCrawl-delay: 5\nDisallow: /x/"),
+            ("b", "User-agent: *\ncrawl-DELAY:   2.5\n"),  # case + float
+            ("c", "User-agent: *\nDisallow: /"),            # no directive
+            ("d", None),                                     # failed fetch
+        ],
+        "host string, rules_txt string",
+    )
+    got = {
+        r["host"]: r["d"]
+        for r in rows.select(
+            "host", crawl_delay_seconds(F.col("rules_txt")).alias("d")
+        ).collect()
+    }
+    assert got == {"a": 5.0, "b": 2.5, "c": 1.0, "d": 1.0}
+
+
+def test_host_budget_from_delay(spark):
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators.politeness import (
+        host_budget_from_delay,
+    )
+
+    rules = spark.createDataFrame(
+        [
+            ("h5", "User-agent: *\nCrawl-delay: 5\n"),   # 60/5 = 12
+            ("h03", "User-agent: *\nCrawl-delay: 0.3\n"),  # clamped to 1s -> 60 -> cap 40
+            ("hx", "User-agent: *\n"),                     # default 1s -> cap 40
+        ],
+        "host string, rules_txt string",
+    )
+    got = {
+        r["host"]: r["host_budget"]
+        for r in host_budget_from_delay(
+            rules, round_seconds=60, max_budget=40
+        ).collect()
+    }
+    assert got == {"h5": 12, "h03": 40, "hx": 40}
+
+
+def test_delay_aware_selection_matches_naive_per_host_budget(spark):
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators.politeness import (
+        host_budget_from_delay,
+        select_polite_batch_delay_aware,
+    )
+
+    f = _frontier(spark)
+    rules = spark.createDataFrame(
+        [
+            ("h0.test", "User-agent: *\nCrawl-delay: 10\n"),  # budget 6
+            ("h7", "User-agent: *\nCrawl-delay: 30\n"),       # budget 2
+        ],
+        "host string, rules_txt string",
+    )
+    budgets = host_budget_from_delay(rules, round_seconds=60, max_budget=40)
+    out = select_polite_batch_delay_aware(
+        f, budgets, default_budget=3, salt_buckets=4, order_cols=("depth", "url")
+    )
+    sel = out.filter(F.col("selected"))
+    got = {
+        r["host"]: r["n"]
+        for r in sel.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    # h0.test has 280 rows (budget 6); h7/h8/h9 have 40 rows each;
+    # h7 budget 2; h8/h9 default 3
+    assert got["h0.test"] == 6
+    assert got["h7"] == 2
+    assert all(v == 3 for h, v in got.items() if h not in ("h0.test", "h7"))
+
+    # bit-identical to the naive per-host window with the same budgets
+    w = Window.partitionBy("host").orderBy(F.col("depth").asc(), F.col("url").asc())
+    joined = f.join(budgets, "host", "left").withColumn(
+        "_b", F.coalesce(F.col("host_budget"), F.lit(3))
+    )
+    naive = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("_b"))
+        .select("host", "url")
+    )
+    assert sel.select("host", "url").exceptAll(naive).count() == 0
+    assert naive.exceptAll(sel.select("host", "url")).count() == 0
