@@ -687,6 +687,13 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_dedup_cluster(spark, sf_dir):
+    """Fuzzy-dedup clusters: LSH pairs → connected components → canonical
+    doc per cluster (the C4/RefinedWeb-style corpus dedup composition)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.near_dup_clusters(d, "doc_id", "text", k=3, num_hashes=8, bands=4)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     b = DD.simhash_buckets(d, "doc_id", "text")
@@ -964,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_cluster": _q_dedup_cluster,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1455,6 +1463,27 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc < b.doc
+        """,
+        "dedup_cluster": f"""
+            {_SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+            mh AS (SELECT doc, {minh} FROM sh GROUP BY doc),
+            bands AS ({bands_sql}),
+            pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                       AND a.doc < b.doc),
+            und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                    UNION SELECT doc_b, doc_a FROM pairs),
+            reach(node, lbl) AS (
+                SELECT src AS node, src AS lbl FROM und
+                UNION
+                SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+            ),
+            comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+            SELECT component AS cluster_id, count(*) AS n_docs,
+                   min(node) AS keep_id,
+                   string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS dup_ids
+            FROM comp GROUP BY component
         """,
         "dedup_simhash": f"""
             WITH n AS (SELECT doc_id AS doc, {_NORM_SQL} AS t FROM documents),

@@ -285,6 +285,57 @@ def keep_latest(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Fuzzy-dedup clusters: transitive closure of the LSH candidate graph.
+
+    The standard LLM-corpus dedup pipeline (the shape used by C4 /
+    RefinedWeb / Dolma): MinHash+LSH candidate pairs → connected
+    components over the pair graph → one canonical doc per cluster.
+    Returns ``(cluster_id, n_docs, keep_id, dup_ids)`` — ``cluster_id``
+    and ``keep_id`` are both the cluster's minimum doc id (min-label
+    components make them identical by construction); ``dup_ids`` is the
+    sorted CSV of all member ids.  Singletons (docs in no candidate pair)
+    are not emitted — they need no dedup decision.
+
+    Scale: pair generation is the banded LSH bucket join (never
+    all-pairs); components run min-label propagation whose round count is
+    the dup-graph diameter — near-dup clusters are star/clique shaped, so
+    2-3 rounds in practice.  Each round shuffles only the pair-graph
+    nodes (≪ corpus size).  The reference has no near-dup notion at all
+    (its dedup is an in-memory per-process visited set,
+    /root/reference/src/master_node.py:208); this is the scale-path
+    superset.
+    """
+    from .linkgraph import connected_components
+
+    pairs = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(edges)
+    return (
+        comps.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("node").alias("keep_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("dup_ids"),
+        )
+    )
+
+
 __all__ = [
     "exact_dup_groups",
     "keep_latest",
@@ -295,4 +346,5 @@ __all__ = [
     "simhash_buckets",
     "cosine_expr",
     "embedding_near_dup_pairs",
+    "near_dup_clusters",
 ]

@@ -170,3 +170,34 @@ def test_keep_latest_recrawl(spark):
         DD.keep_latest(df, ["canonical_url"], "round", tiebreak_col="text")
         .groupBy("canonical_url").count().filter("count > 1").count() == 0
     )
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Clusters are the transitive closure of the LSH pair graph: A~B and
+    B~C chain into one cluster even if A and C never share a band."""
+    docs = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 10
+        (12, "alpha beta gamma delta epsilon zeta eta iota"),    # near 10/11
+        (20, "one lonely document with entirely distinct words"),
+        (30, "spark shuffle partition broadcast join window agg"),
+        (31, "spark shuffle partition broadcast join window aggregate"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = {
+        r["cluster_id"]: r
+        for r in DD.near_dup_clusters(
+            df, "doc_id", "text", k=3, num_hashes=8, bands=8
+        ).collect()
+    }
+    # the 10/11/12 chain collapses into one cluster keyed by its min id
+    assert 10 in rows
+    c = rows[10]
+    assert c["keep_id"] == 10 and c["n_docs"] == 3
+    assert c["dup_ids"] == "10,11,12"
+    # 30/31 form their own cluster; the singleton 20 is not emitted
+    assert 30 in rows and rows[30]["dup_ids"] == "30,31"
+    assert all(r["keep_id"] == cid for cid, r in rows.items())
+    assert 20 not in {
+        int(x) for r in rows.values() for x in r["dup_ids"].split(",")
+    }
