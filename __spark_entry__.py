@@ -85,7 +85,7 @@ def _graph_e_sql(sparse: bool = False) -> str:
     )
 
 
-def _pagerank_oracle_sql(iterations: int = 5) -> str:
+def _pagerank_oracle_sql(iterations: int = 5, final_select: str | None = None) -> str:
     """Unrolled fixed-iteration PageRank as chained CTEs (damping 0.85).
 
     Literals are written so DuckDB performs bit-identical IEEE double ops
@@ -111,9 +111,9 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             f") c ON v.node = c.node),"
         )
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(
-        f"SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}"
-    )
+    if final_select is None:
+        final_select = f"SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}"
+    parts.append(final_select)
     return "\n".join(parts)
 
 
@@ -687,6 +687,39 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+def _q_perplexity(spark, sf_dir):
+    """CCNet-style corpus quality: mean NLL under the corpus' own
+    unigram LM (the reference indexes text with no quality model)."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators import (
+        corpus as CP,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return CP.unigram_nll(d, "doc_id", "text")
+
+
+def _q_recrawl_priority(spark, sf_dir):
+    """Importance-x-staleness recrawl scheduling: PageRank over the link
+    graph x hours since last seen (Cho & Garcia-Molina refresh policy)."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators import (
+        corpus as CP,
+        linkgraph as LG,
+    )
+
+    edges = _graph_edges(spark, sf_dir)
+    ranks = LG.pagerank(edges, 5).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+    ev = _t(spark, sf_dir, "events")
+    seen = ev.groupBy((F.col("user_id") % 97).alias("node")).agg(
+        F.max(F.col("ts").cast("timestamp_ltz").cast("long")).alias(
+            "last_seen_epoch_s"
+        )
+    )
+    # 2024-02-01 00:00:00 UTC — fixed "now" so the score is deterministic
+    return CP.recrawl_priority(ranks, seen, now_epoch_s=1706745600)
+
+
 def _q_dedup_cluster(spark, sf_dir):
     """Fuzzy-dedup clusters: LSH pairs → connected components → canonical
     doc per cluster (the C4/RefinedWeb-style corpus dedup composition)."""
@@ -972,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_cluster": _q_dedup_cluster,
+        "perplexity": _q_perplexity,
+        "recrawl_priority": _q_recrawl_priority,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1464,6 +1499,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc < b.doc
         """,
+        "perplexity": f"""
+            WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS tok FROM n),
+            cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t_total FROM cnt)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(ln((SELECT t_total FROM tot)) - avg(ln(CAST(c AS DOUBLE))), 6) AS mean_nll
+            FROM tok JOIN cnt USING (tok)
+            GROUP BY doc_id
+        """,
+        "recrawl_priority": _pagerank_oracle_sql(
+            5,
+            final_select="""
+            , pr AS (SELECT node, ROUND(rank, 6) AS rank FROM r5),
+            seen AS (SELECT user_id % 97 AS node,
+                            max(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS last_seen_epoch_s
+                     FROM events GROUP BY user_id % 97)
+            SELECT pr.node, pr.rank, seen.last_seen_epoch_s,
+                   round(pr.rank * ((1706745600 - seen.last_seen_epoch_s) / 3600.0), 6) AS priority
+            FROM pr JOIN seen ON pr.node = seen.node
+            """,
+        ),
         "dedup_cluster": f"""
             {_SHINGLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
             mh AS (SELECT doc, {minh} FROM sh GROUP BY doc),
