@@ -159,7 +159,15 @@ def main():
 
     # crawl: ~20k-page web per 0.1 SF unit; fixture generation (the
     # synthetic internet) is setup, not engine work — excluded from the
-    # timed region
+    # timed region.  Warm the crawl path immediately BEFORE the timed run
+    # (codegen of the round plans, Python Arrow-UDF worker pool, JIT) —
+    # the same 2k-page warm-up bench_scaling/profile_crawl use.  Within a
+    # session the FIRST full-size crawl reproducibly pays a one-time
+    # warm-up cost a repeat run does not (measured 159→81 s and 136→81 s
+    # at local[32]/20k); the 2k run absorbs most of it.  Across sessions
+    # this VM's multi-core noise floor (±40% at local[32]) dominates —
+    # BENCH/ab.json carries the rotated interleaved code-vs-code truth.
+    crawl_workload(spark, 2_000)
     n_pages = max(int(200_000 * sf), 2_000) if sf > 0 else 20_000
     web, robots, seeds = setup_crawl(spark, n_pages)
     t0 = time.perf_counter()
