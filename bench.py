@@ -109,6 +109,49 @@ def crawl_workload(spark, n_pages: int, budget: int = 32_000, depth: int = 1,
         web.unpersist()
 
 
+def _graph_timings(spark, sf_dir: str) -> dict[str, float]:
+    """Time the three link-graph operators over an SF-scaled edge list.
+
+    Edges are a deterministic function of the documents table (two
+    co-prime hash moduli → varying degrees, ~1024 nodes, |edges| ≈
+    |documents|), cached so each timed operator sees the same
+    materialized input.  PageRank runs 8 iterations so per-iteration
+    plan growth (the classic iterative-Spark failure mode) would show up
+    as superlinear wall time — ``localCheckpoint`` keeps it flat
+    (tests/test_linkgraph.py pins the plan-size invariant)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators import (
+        linkgraph as LG,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = (
+        d.select(
+            (F.col("doc_id") % 1024).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % 1021).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    out: dict[str, float] = {}
+    t0 = _time.perf_counter()
+    LG.pagerank(edges, iterations=8).count()
+    out["graph_pagerank"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    LG.connected_components(edges).count()
+    out["graph_components"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    LG.triangle_count(edges).count()
+    out["graph_triangles"] = round(_time.perf_counter() - t0, 3)
+    edges.unpersist()
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -122,13 +165,18 @@ def main():
     spark = build_session(
         app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
-    qs = E.queries()
+    # the bench times the driver-facing surface PLUS the folded-out
+    # queries (still part of the engine's contract — see
+    # __spark_entry__.extra_queries)
+    qs = {**E.queries(), **E.extra_queries()}
     headliners = [
         "pricing_summary",
         "top_revenue",
         "postings",
         "search_topk",
         "search_partitioned",
+        "search_bm25",
+        "search_multifield",
         "term_stats",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
@@ -150,6 +198,9 @@ def main():
     # pre-build the partitioned index (app-keyed path, built once/session)
     # so the timed search_partitioned run measures the pruned query alone
     qs["search_partitioned"](spark, sf_dir).count()
+    # same for the BM25 postings+doc-norms side tables (built once with
+    # the index; the timed run measures query cost, VERDICT r4 #6)
+    qs["search_bm25"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in headliners:
@@ -157,18 +208,30 @@ def main():
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # -- link-graph analytics at SF scale (VERDICT r4 #7) -------------------
+    # The driver-checked graph queries run on a small oracle-matched
+    # fixture; the BENCH rows run the same operators over an edge list
+    # that grows with the SF (one edge per document, ~8 edges/node), so
+    # the measured number is the iterative shuffle cost, not setup.
+    for name, t in _graph_timings(spark, sf_dir).items():
+        timings[name] = t
+
     # crawl: ~20k-page web per 0.1 SF unit; fixture generation (the
     # synthetic internet) is setup, not engine work — excluded from the
     # timed region.  Warm the crawl path immediately BEFORE the timed run
     # (codegen of the round plans, Python Arrow-UDF worker pool, JIT) —
-    # the same 2k-page warm-up bench_scaling/profile_crawl use.  Within a
+    # the same warm-up bench_scaling/profile_crawl use.  Within a
     # session the FIRST full-size crawl reproducibly pays a one-time
     # warm-up cost a repeat run does not (measured 159→81 s and 136→81 s
-    # at local[32]/20k); the 2k run absorbs most of it.  Across sessions
-    # this VM's multi-core noise floor (±40% at local[32]) dominates —
-    # BENCH/ab.json carries the rotated interleaved code-vs-code truth.
-    crawl_workload(spark, 2_000)
+    # at local[32]/20k); the warm-up run absorbs most of it.  Across
+    # sessions this VM's multi-core noise floor (±40% at local[32])
+    # dominates — BENCH/ab.json carries the rotated interleaved
+    # code-vs-code truth.  NOTE (ADVICE r4): the warm-up exists since
+    # round 4 — crawl_round numbers from BENCH_r01-r03 are NOT comparable
+    # with r4+ readings; it scales with the fixture (≤ n_pages/10) so a
+    # small-SF bench never times a second identical full-size run.
     n_pages = max(int(200_000 * sf), 2_000) if sf > 0 else 20_000
+    crawl_workload(spark, min(2_000, max(n_pages // 10, 200)))
     web, robots, seeds = setup_crawl(spark, n_pages)
     t0 = time.perf_counter()
     fetched, scheduled = run_crawl_workload(spark, web, robots, seeds)

@@ -95,6 +95,7 @@ def host_budget_from_delay(
     max_budget: int | None = None,
     host_col: str = "host",
     rules_col: str = "rules_txt",
+    per_agent: bool = True,
 ) -> DataFrame:
     """Per-host round budget implied by Crawl-delay: ``(host, host_budget)``.
 
@@ -102,11 +103,28 @@ def host_budget_from_delay(
     — the number of fetches a host allows inside one round window —
     optionally clamped by ``max_budget`` (the engine-wide cap).  A tiny
     per-host dimension (one row per host), always broadcast at the join.
+
+    ``per_agent=True`` (default) resolves the directive with the same
+    ``RobotFileParser`` group matching the robots gate uses (a
+    ``User-agent:`` group naming this crawler wins over ``*`` — see
+    ``robots.crawl_delay_udf``); ``per_agent=False`` keeps the pure-
+    Catalyst first-directive regex fast path (single-group files only).
+    The per-host dimension is one row per host, so the Arrow UDF runs
+    once per host, never per frontier row.
     """
-    delay = F.greatest(
-        crawl_delay_seconds(F.col(rules_col), default_delay),
-        F.lit(float(default_delay)),
-    )
+    if per_agent:
+        from . import robots as _robots
+
+        raw = _robots.crawl_delay_udf(F.col(rules_col))
+        delay = F.greatest(
+            F.coalesce(raw, F.lit(float(default_delay))),
+            F.lit(float(default_delay)),
+        )
+    else:
+        delay = F.greatest(
+            crawl_delay_seconds(F.col(rules_col), default_delay),
+            F.lit(float(default_delay)),
+        )
     b = F.floor(F.lit(float(round_seconds)) / delay).cast("int")
     if max_budget is not None:
         b = F.least(b, F.lit(int(max_budget)))

@@ -66,6 +66,30 @@ def search_topk(
     return topk_ranked(scored, [F.col("score").desc(), F.col("doc").asc()], k)
 
 
+def url_tokens(col):
+    """URL tokenization for the index's ``url`` field: lowercase
+    alphanumeric runs (scheme, host labels, path segments, digits) — the
+    standard-analyzer view Elasticsearch applies to a text-mapped ``url``
+    field.  Pure Catalyst (split + filter), no UDF."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def build_url_postings(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """(term, doc, tf) over URL tokens — the second postings stream of the
+    multi-field index (same shape as :func:`build_postings`, so segments,
+    bucketing and compaction machinery all apply unchanged)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(url_tokens(F.col(url_col))).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def doc_lengths(postings: DataFrame) -> DataFrame:
     """(doc, dl): token count per document, derived from the postings
     themselves (dl = Σ tf).  At index scale this is a persisted side table
@@ -97,6 +121,21 @@ def search_bm25(
     hits ⋈ doclens, which at index scale hits a persisted doc-norms side
     table instead of the on-the-fly ``doc_lengths`` fallback.
     """
+    scored = bm25_doc_scores(postings, query_terms, k1, b, doclens)
+    return topk_ranked(scored, [F.col("score").desc(), F.col("doc").asc()], k)
+
+
+def bm25_doc_scores(
+    postings: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    doclens: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc BM25 score (``(doc, score)``, unranked) — the shared scorer
+    behind :func:`search_bm25` and each field of :func:`search_multifield`.
+    N / df / dl / avgdl are all derived from THIS postings stream, i.e.
+    per-field statistics, exactly as Lucene keeps per-field norms."""
     if doclens is None:
         doclens = doc_lengths(postings)
     stats = doclens.agg(
@@ -118,7 +157,47 @@ def search_bm25(
     )
     norm = F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     w = idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + F.lit(k1) * norm)
-    scored = hits.withColumn("w", w).groupBy("doc").agg(F.sum("w").alias("score"))
+    return hits.withColumn("w", w).groupBy("doc").agg(F.sum("w").alias("score"))
+
+
+def search_multifield(
+    field_postings: dict[str, DataFrame],
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tie_breaker: float = 0.0,
+    field_doclens: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Multi-field search — the reference UI's actual query shape:
+    ``multi_match`` over ``["content", "url"]``
+    (/root/reference/src/UI/main.py:549-553).  ES ``multi_match`` defaults
+    to ``best_fields``: each field is scored independently under BM25
+    (per-field df/dl/avgdl/N, Lucene semantics) and the doc's score is the
+    MAX over fields, plus ``tie_breaker`` × the sum of the other fields'
+    scores.  A doc whose URL contains a query term but whose body does not
+    therefore ranks — the case the content-only scorer was blind to
+    (VERDICT r4 missing #2).
+
+    Scale: one broadcast term-join + tiny stat aggregates PER FIELD
+    (each stream is the ordinary BM25 plan), then a groupBy(doc) over the
+    per-field score rows — |fields| × |matching docs| rows, never a
+    postings-scale shuffle.  Field streams share the segmented/bucketed
+    index machinery unchanged (a field column on the postings table at
+    production scale).
+    """
+    field_doclens = field_doclens or {}
+    tagged = None
+    for field, postings in field_postings.items():
+        s = bm25_doc_scores(
+            postings, query_terms, k1, b, field_doclens.get(field)
+        ).withColumn("_field", F.lit(field))
+        tagged = s if tagged is None else tagged.unionByName(s)
+    combined = (
+        F.max("score")
+        + F.lit(float(tie_breaker)) * (F.sum("score") - F.max("score"))
+    ).alias("score")
+    scored = tagged.groupBy("doc").agg(combined)
     return topk_ranked(scored, [F.col("score").desc(), F.col("doc").asc()], k)
 
 
@@ -321,8 +400,12 @@ def export_page(df: DataFrame, sort_col: str, offset: int, size: int) -> DataFra
 
 __all__ = [
     "build_postings",
+    "build_url_postings",
+    "url_tokens",
     "doc_lengths",
+    "bm25_doc_scores",
     "search_bm25",
+    "search_multifield",
     "append_postings_segment",
     "read_postings_merged",
     "compact_postings",

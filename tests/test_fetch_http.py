@@ -249,9 +249,11 @@ def test_socket_pacing_observed(spark, web_df, server):
     assert len(stamps) == len(urls)
     gaps = [b - a for a, b in zip(stamps, stamps[1:])]
     # the stage paces request RELEASES; arrivals add per-request connection
-    # overhead whose variation can shrink an individual arrival gap (first
-    # request pays session setup).  The telescoped total span is immune to
-    # that jitter, so assert the full budget there and only a loose floor
-    # per gap.
-    assert stamps[-1] - stamps[0] >= (len(urls) - 1) * interval - 0.15, gaps
-    assert min(gaps) >= interval / 2, gaps
+    # overhead whose variation can shrink an observed arrival gap.  The
+    # FIRST request additionally pays one-off session setup (~0.1-0.2 s
+    # under a loaded host), which delays arrival 1 and can compress the
+    # 1→2 gap below the release interval, so spacing is asserted over the
+    # steady-state arrivals (stamps[1:]); the first arrival still counts
+    # toward len(stamps) above.
+    assert stamps[-1] - stamps[1] >= (len(urls) - 2) * interval - 0.15, gaps
+    assert min(gaps[1:]) >= interval / 2, gaps

@@ -92,3 +92,88 @@ def test_triangle_count_empty(spark):
         _edges_df(spark, [(1, 2), (2, 3)])
     ).collect()
     assert row["n_triangles"] == 0
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star (Kiveris et al.) — adversarial-diameter components
+# ---------------------------------------------------------------------------
+
+def test_cc_star_matches_label_prop_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = _edges_df(spark, pairs)
+    lab = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(df, algorithm="label").collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(df, algorithm="star").collect()
+    }
+    assert star == lab
+
+
+def test_cc_star_long_path_converges_in_log_rounds(spark):
+    """512-node path (diameter 511): label propagation needs ~511 rounds;
+    the star algorithm must finish within 14 iterations (≈log₂ n + slack)
+    with exact labels — the VERDICT r4 #4 'done' criterion."""
+    n = 512
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    labels = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(
+            _edges_df(spark, pairs), max_iterations=14, algorithm="star"
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_cc_auto_falls_back_to_star_on_long_diameter(spark):
+    # diameter 99 ≫ star_fallback_after=4: auto must still return exact
+    # labels (label-prop alone at 4 rounds would be wrong)
+    pairs = [(i, i + 1) for i in range(99)] + [(200, 201)]
+    labels = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(
+            _edges_df(spark, pairs),
+            max_iterations=14,
+            algorithm="auto",
+            star_fallback_after=4,
+        ).collect()
+    }
+    want = {i: 0 for i in range(100)}
+    want.update({200: 200, 201: 200})
+    assert labels == want
+
+
+def test_cc_star_isolated_and_self_loop_nodes(spark):
+    pairs = [(5, 5), (1, 2)]
+    labels = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(
+            _edges_df(spark, pairs), algorithm="star"
+        ).collect()
+    }
+    assert labels == {1: 1, 2: 1, 5: 5}
+
+
+def test_cc_rejects_unknown_algorithm(spark):
+    with pytest.raises(ValueError):
+        LG.connected_components(_edges_df(spark, [(1, 2)]), algorithm="bogus")
+
+
+def test_iterative_plans_do_not_grow_with_iterations(spark):
+    """localCheckpoint must truncate lineage: the optimized plan of an
+    8-iteration PageRank must not be materially larger than a
+    2-iteration one (the classic iterative-Spark failure mode is a plan
+    that grows linearly per iteration)."""
+    df = _edges_df(spark, GRAPH)
+
+    def plan_size(iters):
+        out = LG.pagerank(df, iterations=iters)
+        return len(out._jdf.queryExecution().optimizedPlan().toString())
+
+    small, big = plan_size(2), plan_size(8)
+    assert big <= small * 1.5, (small, big)

@@ -79,7 +79,7 @@ def test_limit_above_window_still_flagged(spark, kv):
 def test_shipped_window_queries_audit_clean(spark):
     import __spark_entry__ as E
 
-    queries = E.queries()
+    queries = {**E.queries(), **E.extra_queries()}
     for name in WINDOW_QUERIES:
         df = queries[name](spark, "/root/testdata/sf0.001")
         checks = audit_plan(name, _plan(df))

@@ -180,3 +180,47 @@ def test_delay_aware_selection_matches_naive_per_host_budget(spark):
     )
     assert sel.select("host", "url").exceptAll(naive).count() == 0
     assert naive.exceptAll(sel.select("host", "url")).count() == 0
+
+
+def test_crawl_delay_per_agent_group_resolution(spark):
+    """A robots.txt with a UA-specific group must yield THAT group's
+    delay, not the file's first/'*' directive (VERDICT r4 #5) — resolved
+    by the same RobotFileParser the gate uses."""
+    from distributed_web_crawling_and_indexing_system_gcp_spark.operators.politeness import (
+        host_budget_from_delay,
+    )
+
+    rules = spark.createDataFrame(
+        [
+            # '*' group first in the file; our UA's group later and
+            # stricter — per-agent resolution must pick 10 (budget 6),
+            # first-directive regex would wrongly pick 1 (budget 40)
+            ("ua", "User-agent: *\nCrawl-delay: 1\n\n"
+                   "User-agent: MyDistributedCrawler\nCrawl-delay: 10\n"),
+            # only a different bot constrained -> '*' group (delay 2)
+            ("other", "User-agent: weirdbot\nCrawl-delay: 30\n\n"
+                      "User-agent: *\nCrawl-delay: 2\n"),
+            # no directive anywhere -> default 1 s
+            ("none", "User-agent: *\nDisallow: /private/\n"),
+            # failed robots fetch -> default
+            ("null", None),
+        ],
+        "host string, rules_txt string",
+    )
+    got = {
+        r["host"]: r["host_budget"]
+        for r in host_budget_from_delay(
+            rules, round_seconds=60, max_budget=40
+        ).collect()
+    }
+    assert got == {"ua": 6, "other": 30, "none": 40, "null": 40}
+
+    # the regex fast path (per_agent=False) keeps first-directive
+    # semantics — the documented single-group-only contract
+    got_fast = {
+        r["host"]: r["host_budget"]
+        for r in host_budget_from_delay(
+            rules, round_seconds=60, max_budget=40, per_agent=False
+        ).collect()
+    }
+    assert got_fast["ua"] == 40  # first directive (1 s) — the mis-read

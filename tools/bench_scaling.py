@@ -460,11 +460,36 @@ levels are interleaved inside each round so they sample the same
 noise window.  The MEDIAN across clean rotated rounds is the robust
 statistic (best-of is reported for comparability with earlier rounds).
 """]
-    reps = []
+    import statistics as _st
+
+    # pooled stats FIRST (clean rounds from EVERY 60k production-shape
+    # run, headline + replications) so every per-pair verdict below can
+    # surface the pooled number next to its own (ADVICE r4): a MET based
+    # on one run's statistic must not hide a sub-target pooled median.
+    reps = [p for p in entries if p.get("kind") == "replication"]
+    pooled: list[float] = []
+    dirty_effs: list[float] = []
+    for p in entries:
+        is_60k = (
+            p.get("n_pages") == 60000
+            or p["pair"]["lo"].get("n_pages") == 60000
+        )
+        if not is_60k:
+            continue
+        for r in p["pair"].get("rounds", []):
+            (pooled if r.get("clean") else dirty_effs).append(r["eff"])
+    pooled_med = _st.median(pooled) if pooled else None
+    pooled_max = max(pooled) if pooled else None
+    pooled_note = (
+        f"Pooled clean-round median across ALL 60k production-shape runs: "
+        f"**{pooled_med:.3f}** "
+        f"({'≥' if pooled_med >= 0.8 else '<'} the 0.8 target)."
+        if pooled_med is not None else ""
+    )
+
     for p in entries:
         pr = p["pair"]
         if p.get("kind") == "replication":
-            reps.append(p)
             continue
         eff = pr["scaling_efficiency"]
         med = pr["median_efficiency"]
@@ -478,44 +503,58 @@ statistic (best-of is reported for comparability with earlier rounds).
 **Scaling efficiency (2 → 8)** = **{eff:.3f}** best-of-rounds;
 median-of-rounds **{med:.3f}**
 (per-round: {pr['per_round_efficiency']}).
-North-rule target ≥ 0.8: **{met}**.
+North-rule target ≥ 0.8: **{met}** under the per-run protocol statistic.
+{pooled_note if p.get('n_pages') == 60000 else ''}
 Measured {p.get('date', '')}; raw JSON in BENCH/pair_prod.json.
 """)
     if reps:
-        import statistics as _st
         lines = []
-        pooled = []
         for p in reps:
             pr = p["pair"]
-            clean = [r["eff"] for r in pr.get("rounds", []) if r.get("clean")]
-            pooled += clean
+            clean = sorted(
+                r["eff"] for r in pr.get("rounds", []) if r.get("clean")
+            )
             lines.append(
                 f"- {p.get('date','')}: {len(pr.get('rounds', []))} rounds, "
-                f"{len(clean)} clean → clean effs {sorted(clean)}, "
+                f"{len(clean)} clean → clean effs {clean}, "
                 f"best-of-reps {pr['scaling_efficiency']:.3f} "
                 f"({p.get('note','')})"
             )
-        # pool clean rounds from EVERY 60k prod run, headline included
-        for p in entries:
-            if p.get("kind") != "replication" and p["pair"]["lo"].get("n_pages") == 60000:
-                pooled += [r["eff"] for r in p["pair"].get("rounds", []) if r.get("clean")]
-        secs.append(f"""
+        spread = (
+            f"{min(pooled):.2f}→{max(pooled):.2f}" if len(pooled) >= 2 else "n/a"
+        )
+        dirty_txt = (
+            f"  Gate-failed (non-clean) rounds reached "
+            f"{max(dirty_effs):.3f} but are EXCLUDED from every statistic "
+            f"here — the gate cuts both ways." if dirty_effs else ""
+        )
+        if not pooled:
+            # every gated round across every run failed the window gate —
+            # report that plainly rather than crash on an empty median
+            secs.append(
+                "\n### Replication runs (same code, later host windows)\n\n"
+                + "\n".join(lines)
+                + "\n\nNo clean rounds recorded across any 60k run — all "
+                "windows failed the host gate; no pooled statistic is "
+                "derivable.\n"
+            )
+        else:
+            secs.append(f"""
 ### Replication runs (same code, later host windows)
 
 {chr(10).join(lines)}
 
 Clean-round efficiencies pooled across ALL 60k production-shape runs:
 {sorted(round(e, 3) for e in pooled)} → pooled median
-**{_st.median(pooled):.3f}**, max **{max(pooled):.3f}**.  The spread
-(0.5→0.92 between *consecutive gated rounds of identical code*) is the
+**{pooled_med:.3f}**, max **{pooled_max:.3f}**.  The spread
+({spread} between *gated rounds of identical code*) is the
 shared VM's multi-core steal, which the single-core burn gates cannot
 see: an engine's serial fraction is a property of the code and cannot
-vary 1.7× between back-to-back identical runs.  The Amdahl fit from the
-fastest replication legs (T2=453 s, T8=132.5 s → serial s≈25 s) puts the
-engine's noise-free ceiling at this fixture size at ~0.86 — matching the
-clean-round maxima (0.855/0.900/0.924) across all runs, which is why the
-headline run's protocol statistic (median over its clean rotated rounds)
-is reported per-run rather than pooled across host regimes.
+vary that much between back-to-back identical runs.  The clean-round
+maximum ({pooled_max:.3f}) sits at the Amdahl-implied engine ceiling at
+this fixture size (dated note, from the 2026-08-18 replication legs:
+T2=453 s, T8=132.5 s → serial s≈25 s → ceiling ≈0.86; re-derive if the
+fixture or engine changes).{dirty_txt}
 """)
     secs.append("""
 **Reading the two pairs together:** the 60k legs (2.5–10 min) fit
@@ -523,9 +562,11 @@ inside one host-noise window, so its four rotated rounds measure the
 code; the 240k local[2] legs run ~35–40 min each and straddle several
 windows (its best local[2] leg ran at 110 pages/s where the same code
 measured ~300 pages/s in a faster window the same day), which shows up
-as leg-asymmetric noise, not engine serialization.  The 60k pair —
-median 0.835 over 4 clean interleaved rounds — is therefore the
-decisive measurement of the engine's N→4N scaling at production shape.
+as leg-asymmetric noise, not engine serialization.  The 60k pair
+(2026-08-17 run: median 0.835 over 4 clean interleaved rounds) is
+therefore the decisive per-run measurement of the engine's N→4N scaling
+at production shape; the pooled clean-round median above is the
+cross-run statistic.
 """)
     sec = "".join(secs) + "\n"
     # insert right after the intro (before the first "## Pair A" section)

@@ -58,7 +58,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs, os = E.queries(), E.oracle_sql()
+    qs, os = dict(E.queries()), dict(E.oracle_sql())
+    # also verify the folded-out queries (not on the 50-entry driver
+    # board, but still part of the engine's contract)
+    if hasattr(E, "extra_queries"):
+        qs.update(E.extra_queries())
+        os.update(E.extra_oracle_sql())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

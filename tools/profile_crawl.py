@@ -25,6 +25,9 @@ def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
     label = sys.argv[3] if len(sys.argv) > 3 else f"c{cpus}p{n_pages}"
+    # seed_every=1 → the production shape (every page seeded up front,
+    # few giant rounds) the scaling pairs measure
+    seed_every = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
     evdir = f"/tmp/spark-events-{label}"
     os.makedirs(evdir, exist_ok=True)
@@ -47,7 +50,7 @@ def main():
     )
     # warm JVM/codegen/Python workers like bench_scaling does
     bench.crawl_workload(spark, 2000)
-    web, robots, seeds = bench.setup_crawl(spark, n_pages)
+    web, robots, seeds = bench.setup_crawl(spark, n_pages, seed_every=seed_every)
     cutoff_ms = int(time.time() * 1000)
     t0 = time.perf_counter()
     fetched, scheduled = bench.run_crawl_workload(spark, web, robots, seeds)
