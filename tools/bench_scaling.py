@@ -229,8 +229,28 @@ def interleaved_pair(
     round whose window went dirty mid-leg (median mid-burn > 1.35× the
     healthy rate, or a dirty entry probe) is marked poisoned and earns an
     extra round, up to max_extra_rounds.  Efficiency statistics use clean
-    rounds when any exist."""
+    rounds when any exist.
+
+    Round-5 gate tightening (symmetric by construction): the entry probe
+    alone cannot see a steal episode that STARTS mid-round, and the
+    mid-leg burns are single-core (hypervisor steal can cap multi-core
+    capacity while single-core reads healthy — exactly how 0.50/0.635
+    rounds were recorded "clean" in the r4 replications).  Each round now
+    also runs the ~6 s multi-core window_probe BETWEEN the two legs and
+    AFTER the 4N leg (both moments are Spark-idle, so the probe never
+    competes with a measurement); clean requires entry+between+exit probes
+    all clean plus the mid-leg burn check.  This can only EXCLUDE rounds —
+    a 0.9 round with a dirty exit probe is discarded the same as a 0.5
+    one — so it cannot flatter the pooled statistic, only de-noise it."""
     import statistics
+
+    def _mc_probe() -> dict:
+        pr = window_probe()
+        pr["clean"] = (
+            pr["mc_ratio"] >= 0.85
+            and pr["per_proc_mops_1"] >= 0.75 * (healthy_mops or 0.0)
+        )
+        return pr
 
     best = {n: None, 4 * n: None}
     round_recs = []
@@ -240,17 +260,22 @@ def interleaved_pair(
         probe = (wait_clean_window(healthy_mops)
                  if healthy_mops is not None else {"clean": True})
         pair = {}
+        leg_probes = []
         for cpus in (n, 4 * n):
             r = run_at(cpus, n_pages, reps=1, healthy_burn=hb)
             pair[cpus] = r
+            if healthy_mops is not None:
+                leg_probes.append(_mc_probe())  # between-legs, then exit
         mid_ok = all(
             (pair[c].get("mid_burn_median") or 0) <= hb * 1.35
             for c in (n, 4 * n)
         )
-        clean = bool(probe.get("clean")) and mid_ok
+        legs_ok = all(p["clean"] for p in leg_probes)
+        clean = bool(probe.get("clean")) and mid_ok and legs_ok
         eff = (pair[4 * n]["pages_per_sec"] / pair[n]["pages_per_sec"]) / 4.0
         round_recs.append(
             {"eff": round(eff, 3), "clean": clean, "probe": probe,
+             "leg_probes": leg_probes,
              "mid": {c: pair[c].get("mid_burn_median") for c in (n, 4 * n)}}
         )
         for cpus in (n, 4 * n):
