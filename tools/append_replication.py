@@ -35,6 +35,20 @@ def main() -> None:
     )
     prod = REPO / "BENCH" / "pair_prod.json"
     d = json.loads(prod.read_text())
+    # protocol guard: pair_prod.json pools PRODUCTION-SHAPE rounds only
+    # (seed_every=1 — every page seeded up front, few giant rounds).  A
+    # pair whose legs ran the default discovery shape measures a workload
+    # with ~3x the serial fraction; pooling it would corrupt the series
+    # in either direction.  Older entries predate the seed_every stamp;
+    # new ones must carry it.
+    for leg in ("lo", "hi"):
+        se = pair.get(leg, {}).get("seed_every")
+        if se is not None and se != 1:
+            sys.exit(
+                f"REFUSED: {leg} leg ran seed_every={se}, not the "
+                f"production shape (seed_every=1) pair_prod.json pools. "
+                f"Record it under BENCH/rejected_runs.json instead."
+            )
     # n_pages is recoverable from the child legs; require 60k-shape entries
     # to say so explicitly so pooling never silently mixes fixtures
     n_pages = pair["lo"]["n_pages"] if "n_pages" in pair.get("lo", {}) else 60000

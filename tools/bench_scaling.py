@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import subprocess
 import sys
 import time
@@ -105,7 +106,8 @@ for rep in range(reps):
         best = (dt, fetched, scheduled, list(_mid["samples"]))
 dt, fetched, scheduled, mid = best
 import statistics as _st
-print(json.dumps({{"cpus": cpus, "n_pages": n_pages, "fetched": fetched,
+print(json.dumps({{"cpus": cpus, "n_pages": n_pages, "seed_every": seed_every,
+                  "fetched": fetched,
                   "scheduled": scheduled, "sec": round(dt, 2),
                   "pages_per_sec": round(fetched / dt, 1),
                   "urls_per_sec": round(scheduled / dt, 1),
@@ -669,7 +671,16 @@ def main():
         return
 
     if len(sys.argv) > 1 and sys.argv[1] == "--pair":
-        # quick mode: one interleaved pair (local[n] vs local[4n]), JSON only
+        # quick mode: one interleaved pair (local[n] vs local[4n]), JSON only.
+        # --pair exists to replicate the PRODUCTION-SHAPE protocol
+        # (pair_prod.json), so force seed_every=1 unless the caller
+        # explicitly overrides — a pair accidentally run at the default
+        # discovery shape (seed_every=2) measures a different workload
+        # (3 medium rounds, ~3x the serial fraction) and must never be
+        # pooled with production-shape rounds.  The child JSON records
+        # seed_every either way so append_replication.py can refuse
+        # mismatched runs.
+        os.environ.setdefault("SPARK_GRAFT_BENCH_SEED_EVERY", "1")
         n = int(sys.argv[2]); n_pages = int(sys.argv[3])
         rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
         hb = healthy_burn_secs()

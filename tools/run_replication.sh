@@ -24,6 +24,9 @@ for i in range(240):  # up to ~4h of patience
 sys.exit(1)
 EOF
 
+# production shape: every page seeded up front (few giant rounds) — the
+# only shape pair_prod.json pools.  --pair also forces this itself.
+export SPARK_GRAFT_BENCH_SEED_EVERY=1
 python tools/bench_scaling.py --pair 2 60000 "$ROUNDS" 2>/dev/null | tail -1 > "$OUT"
 echo "pair done -> $OUT"
 python - "$OUT" <<'EOF'
