@@ -258,6 +258,20 @@ def run_round(
     the heavy payload.  On a cluster this is exactly an Iceberg/Delta
     round-state table on local SSD/object storage.
     """
+    # opt-in phase profiling: cfg.extra["phase_log"] is a caller-owned list
+    # that collects (round_no, phase, seconds) for the serial-fraction
+    # audit (tools/profile_serial.py); absent in normal runs = zero cost
+    import time as _time
+
+    _phase_log = cfg.extra.get("phase_log")
+    _t_round0 = _time.perf_counter()
+
+    def _phase(name: str, t0: float) -> float:
+        now = _time.perf_counter()
+        if _phase_log is not None:
+            _phase_log.append((round_no, name, now - t0))
+        return now
+
     retryable = (F.col("status") == "pending") | (
         (F.col("status") == "timeout") & (F.col("attempts") < cfg.max_attempts)
     )
@@ -372,6 +386,7 @@ def run_round(
         "spans",
         parse_html_udf(F.when(F.col("fetch_outcome") == "ok_html", F.col("html"))),
     )
+    _t = _phase("plan_build_prefetch", _t_round0)
     if scratch is not None:
         # columnar round state: the six status branches + metrics prune to
         # the narrow frontier columns; only documents/link extraction read
@@ -383,6 +398,7 @@ def run_round(
         fetched = fetched_lazy.localCheckpoint(
             eager=True, storageLevel=StorageLevel.DISK_ONLY
         )
+    _t = _phase("fetch_materialize", _t)
     ok_html = fetched.filter(F.col("fetch_outcome") == "ok_html")
 
     # -- documents: one row per fetched HTML page ---------------------------
@@ -432,7 +448,9 @@ def run_round(
     if warmup is None:
         warmup = spark.sparkContext.defaultParallelism >= 16
     if warmup:
+        _t = _phase("plan_build_mid", _t)
         fresh.count()
+        _t = _phase("warmup_count", _t)
     new_frontier = fresh.select(
         F.col("canonical_url").alias("url"),  # children enqueue normalized
         F.col("canonical_url"),
@@ -574,6 +592,7 @@ def run_round(
 
     # Bloom maintenance keys come from seen_delta (exactly the keys by
     # which `seen` grows — the shard map tracks `seen` bit-for-bit)
+    _phase("plan_build_postfetch", _t)
     return {
         "frontier": frontier_after,
         "seen": seen_final,
@@ -810,6 +829,17 @@ def run_crawl(
             # instead of 5.
             from pyspark.storagelevel import StorageLevel
 
+            import time as _time
+
+            _phase_log = cfg.extra.get("phase_log")
+            _pt = _time.perf_counter()
+
+            def _phase(name: str, t0: float) -> float:
+                now = _time.perf_counter()
+                if _phase_log is not None:
+                    _phase_log.append((round_no, name, now - t0))
+                return now
+
             _ck = {"eager": True, "storageLevel": StorageLevel.DISK_ONLY}
             tagged = (
                 out["frontier"]
@@ -827,9 +857,11 @@ def run_crawl(
                     allowMissingColumns=True,
                 )
             )
+            _pt = _phase("state_plan_build", _pt)
             state_ck = tagged.repartition(n_buckets, "url_hash").localCheckpoint(
                 **_ck
             )
+            _pt = _phase("state_checkpoint", _pt)
             frontier = state_ck.filter(F.col("_tbl") == "frontier").select(
                 [f.name for f in FRONTIER_SCHEMA.fields]
             )
@@ -872,7 +904,9 @@ def run_crawl(
                     .withColumn("_tbl", F.lit("seen"))
                 )
                 base = base.unionByName(keys_slice, allowMissingColumns=True)
+            _pt = _phase("collect_plan_build", _pt)
             small_pdf = base.toPandas()
+            _pt = _phase("collect_small", _pt)
             m = small_pdf[small_pdf["_tbl"] == "metrics"]
             round_rows = [
                 (nt, ev, tid, url, int(cnt), int(pid), int(rnd))
@@ -963,6 +997,7 @@ def run_crawl(
                     bloom = _update_bloom(
                         bloom, seen_delta_ck, n_delta, cfg, seen_full=seen
                     )
+            _phase("driver_bookkeeping", _pt)
         if store is not None and cfg.use_bloom and bloom is not None:
             # store path: delta size unknown until counted — count() on the
             # committed delta is a metadata-cheap job
