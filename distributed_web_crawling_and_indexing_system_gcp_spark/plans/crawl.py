@@ -244,8 +244,14 @@ def run_round(
     cfg: CrawlConfig,
     bloom: dict[int, bytes] | None = None,
     scratch: str | None = None,
+    pending_hint: int | None = None,
 ) -> dict[str, DataFrame]:
     """Execute one crawl round; returns the post-round tables (lazy DFs).
+
+    ``pending_hint``: exact count of retryable frontier rows entering this
+    round, when the caller knows it (run_crawl derives it from last
+    round's collected metrics: deferred + retryable timeouts + new URLs).
+    Used only to skip provably-identity work; None = unknown.
 
     ``robots_src(host, rules_txt)`` is the closed-world robots fixture —
     hosts absent from it are "fetch failed ⇒ permissive" (null rules).
@@ -281,13 +287,23 @@ def run_round(
     # -- politeness window: ≤ budget rows per host this round ---------------
     # persisted: deferred, first_timers, retries, and skipped_seen all
     # branch off this subtree — without the persist the window shuffles
-    # (and everything upstream) re-execute once per consumer
-    windowed = politeness.select_polite_batch(
-        pending,
-        budget=cfg.politeness_budget,
-        salt_buckets=cfg.salt_buckets,
-        order_cols=("depth", "url", "task_id"),
-    ).persist()
+    # (and everything upstream) re-execute once per consumer.
+    # Short-circuit: when the driver already knows the TOTAL pending count
+    # (from last round's collected metrics) and it is ≤ the per-host
+    # budget, no host can exceed its budget, so selection is the identity —
+    # the two window shuffles (and their stage-scheduling latency, the
+    # dominant cost of small retry-only rounds) are skipped.  Selection
+    # semantics are unchanged: all rows selected, deferred empty, exactly
+    # what the windowed form returns for any under-budget round.
+    if pending_hint is not None and pending_hint <= cfg.politeness_budget:
+        windowed = pending.withColumn("selected", F.lit(True))
+    else:
+        windowed = politeness.select_polite_batch(
+            pending,
+            budget=cfg.politeness_budget,
+            salt_buckets=cfg.salt_buckets,
+            order_cols=("depth", "url", "task_id"),
+        ).persist()
     deferred = windowed.filter(~F.col("selected")).drop("selected")
     batch = windowed.filter(F.col("selected")).drop("selected")
 
@@ -429,24 +445,31 @@ def run_round(
     dedup_w = Window.partitionBy("url_hash").orderBy(
         "child_depth", "parent_canonical", "link_pos"
     )
+    # persist is LOAD-BEARING for scaling: fresh (link explode →
+    # canonicalize UDF → Bloom → dedup window, the round's most expensive
+    # chain) fans out to new_frontier, seen_delta AND the metrics branch
+    # of the state union.  Column pruning specializes each branch's copy
+    # of the subtree, so exchange reuse does NOT dedupe them — without a
+    # cache the chain executes once per AQE leaf stage (measured 3.3×
+    # JVM-CPU inflation at local[8] vs local[2] on the 20k fixture).
     fresh = (
         fresh.withColumn("_rn", F.row_number().over(dedup_w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    )
-    # ADAPTIVE cache-chain warm-up: one linear count that populates the
+    ).persist()
+    # Cache-chain warm-up: one linear count that populates the
     # windowed→new_batch→fresh persisted subtrees in dependency order
-    # before the multi-branch round materialization.  The hazard it
-    # guards against — concurrent AQE leaf stages racing to compute a
-    # shared uncached subtree, each paying the full recompute — only
-    # bites when MANY stages launch concurrently.  Interleaved A/B
-    # (tools/ab_crawl.py, 60k pages): at local[2]/local[8] the warm-up
-    # job is pure overhead (skip = 5-20% faster); at local[32] the race
-    # is real (warm-up = 35% faster, 126 s vs 193 s).  So it keys on
-    # session parallelism, overridable via extra["warmup"].
+    # before the multi-branch round materialization, so concurrent AQE
+    # leaf stages read the cache instead of racing to recompute it.
+    # Historically keyed on parallelism ≥ 16 (before `fresh` was
+    # persisted the count was thrown away and only paid off when the
+    # local[32] stage race bit).  With `fresh` persisted the warm-up
+    # wins at every level (20k-page A/B, fresh JVMs: local[2] 102 s vs
+    # 115 s, local[8] 60 s vs 79 s — and the unpersisted r4 baseline was
+    # 170/90 s).  Overridable via extra["warmup"].
     warmup = cfg.extra.get("warmup")
     if warmup is None:
-        warmup = spark.sparkContext.defaultParallelism >= 16
+        warmup = True
     if warmup:
         _t = _phase("plan_build_mid", _t)
         fresh.count()
@@ -714,6 +737,7 @@ def run_crawl(
     )
     _RETRYABLE_EVENTS = {"urls_deferred", "url_timeout_retryable", "new_urls_found"}
     pending_known_empty = False
+    pending_hint: int | None = None  # unknown until a round's metrics land
 
     # state tables are re-materialized every round; without an explicit
     # repartition the 9-branch frontier union COMPOUNDS partitions across
@@ -785,7 +809,9 @@ def run_crawl(
             spark, round_no, frontier, seen, robots_rules,
             web_pages, robots_src, cfg, bloom,
             scratch=scratch if cfg.extra.get("fetched_parquet", True) else None,
+            pending_hint=pending_hint,
         )
+        pending_hint = None  # recomputed from this round's metrics below
         out["documents"] = out["documents"].coalesce(n_buckets)
         if store is not None:
             # durable commits write the full seen state (an Iceberg state
@@ -964,6 +990,14 @@ def run_crawl(
             pending_known_empty = not any(
                 event in _RETRYABLE_EVENTS and count > 0
                 for (_, event, _, _, count, _, _) in round_rows
+            )
+            # exact retryable count entering the NEXT round: deferred +
+            # retryable timeouts + newly enqueued URLs (every other row is
+            # settled).  Lets run_round skip provably-identity windowing.
+            pending_hint = sum(
+                count
+                for (_, event, _, _, count, _, _) in round_rows
+                if event in _RETRYABLE_EVENTS
             )
             if cfg.use_bloom and bloom is not None:
                 if collect_keys:
