@@ -469,7 +469,14 @@ def run_round(
     # 170/90 s).  Overridable via extra["warmup"].
     warmup = cfg.extra.get("warmup")
     if warmup is None:
-        warmup = True
+        # skip the warm-up JOB (but keep the persist) on provably-small
+        # retry rounds: when the batch fits under the per-host budget the
+        # chain a racing consumer would recompute is tiny, and the saved
+        # job submission (~2-3 s) is pure serial-fraction reduction
+        warmup = not (
+            pending_hint is not None
+            and pending_hint <= cfg.politeness_budget
+        )
     if warmup:
         _t = _phase("plan_build_mid", _t)
         fresh.count()

@@ -52,9 +52,20 @@ def main() -> None:
     # n_pages is recoverable from the child legs; require 60k-shape entries
     # to say so explicitly so pooling never silently mixes fixtures
     n_pages = pair["lo"]["n_pages"] if "n_pages" in pair.get("lo", {}) else 60000
+    # engine generation stamp: replication rounds are only comparable
+    # within one engine generation (the serial fraction is a property of
+    # the code).  "r5" = the post-933e480 engine (fresh persisted,
+    # unconditional warm-up, identity-window short-circuit); everything
+    # recorded before that commit is "r4".  The exact commit rides along
+    # for provenance.
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, cwd=str(REPO),
+    ).stdout.strip()
     d["pairs"].append(
         {"pair": pair, "n_pages": n_pages, "date": date,
-         "kind": "replication", "note": note}
+         "kind": "replication", "note": note,
+         "engine": "r5", "engine_commit": commit}
     )
     prod.write_text(json.dumps(d, indent=1))
 
@@ -65,10 +76,20 @@ def main() -> None:
         for r in p["pair"].get("rounds", [])
         if r.get("clean")
     ]
+    cur = [
+        r["eff"]
+        for p in d["pairs"]
+        if p.get("n_pages") == 60000 and p.get("engine") == "r5"
+        for r in p["pair"].get("rounds", [])
+        if r.get("clean")
+    ]
     med = statistics.median(pooled) if pooled else None
-    print(f"appended; pooled clean rounds (60k) n={len(pooled)}: "
+    print(f"appended; pooled clean rounds (60k, all engines) n={len(pooled)}: "
           f"{sorted(round(e, 3) for e in pooled)}")
-    print(f"pooled median = {med}")
+    print(f"pooled median (all engines) = {med}")
+    print(f"r5-engine clean rounds n={len(cur)}: "
+          f"{sorted(round(e, 3) for e in cur)} -> median "
+          f"{statistics.median(cur) if cur else None}")
     subprocess.run(
         [sys.executable, str(REPO / "tools" / "bench_scaling.py"),
          "--render-from", str(REPO / "BENCH" / "summary.json"),

@@ -496,6 +496,8 @@ statistic (best-of is reported for comparability with earlier rounds).
     reps = [p for p in entries if p.get("kind") == "replication"]
     pooled: list[float] = []
     dirty_effs: list[float] = []
+    by_engine: dict[str, list[float]] = {}
+    runs_by_engine: dict[str, int] = {}
     for p in entries:
         is_60k = (
             p.get("n_pages") == 60000
@@ -503,14 +505,35 @@ statistic (best-of is reported for comparability with earlier rounds).
         )
         if not is_60k:
             continue
+        eng = p.get("engine", "r4")
+        runs_by_engine[eng] = runs_by_engine.get(eng, 0) + 1
         for r in p["pair"].get("rounds", []):
-            (pooled if r.get("clean") else dirty_effs).append(r["eff"])
+            if r.get("clean"):
+                pooled.append(r["eff"])
+                by_engine.setdefault(eng, []).append(r["eff"])
+            else:
+                dirty_effs.append(r["eff"])
     pooled_med = _st.median(pooled) if pooled else None
     pooled_max = max(pooled) if pooled else None
+    # engine of record = the newest engine generation present (pooling
+    # rounds across engine versions measures nothing: the serial fraction
+    # is a property of the code, and it changed between generations)
+    cur_eng = sorted(by_engine)[-1] if by_engine else None
+    cur_pool = by_engine.get(cur_eng, [])
+    cur_med = _st.median(cur_pool) if cur_pool else None
+    eng_note = ""
+    if cur_eng is not None and len(by_engine) > 1:
+        eng_note = (
+            f" Current engine ({cur_eng}, {runs_by_engine.get(cur_eng, 0)} "
+            f"runs, {len(cur_pool)} clean rounds): pooled median "
+            f"**{cur_med:.3f}**."
+            if cur_med is not None else ""
+        )
     pooled_note = (
-        f"Pooled clean-round median across ALL 60k production-shape runs: "
-        f"**{pooled_med:.3f}** "
+        f"Pooled clean-round median across ALL 60k production-shape runs "
+        f"(all engine generations): **{pooled_med:.3f}** "
         f"({'≥' if pooled_med >= 0.8 else '<'} the 0.8 target)."
+        + eng_note
         if pooled_med is not None else ""
     )
 
@@ -542,7 +565,8 @@ Measured {p.get('date', '')}; raw JSON in BENCH/pair_prod.json.
                 r["eff"] for r in pr.get("rounds", []) if r.get("clean")
             )
             lines.append(
-                f"- {p.get('date','')}: {len(pr.get('rounds', []))} rounds, "
+                f"- {p.get('date','')} [engine {p.get('engine', 'r4')}]: "
+                f"{len(pr.get('rounds', []))} rounds, "
                 f"{len(clean)} clean → clean effs {clean}, "
                 f"best-of-reps {pr['scaling_efficiency']:.3f} "
                 f"({p.get('note','')})"
@@ -571,17 +595,20 @@ Measured {p.get('date', '')}; raw JSON in BENCH/pair_prod.json.
 
 {chr(10).join(lines)}
 
-Clean-round efficiencies pooled across ALL 60k production-shape runs:
+Clean-round efficiencies pooled across ALL 60k production-shape runs
+(all engine generations):
 {sorted(round(e, 3) for e in pooled)} → pooled median
-**{pooled_med:.3f}**, max **{pooled_max:.3f}**.  The spread
-({spread} between *gated rounds of identical code*) is the
+**{pooled_med:.3f}**, max **{pooled_max:.3f}**.
+
+Per ENGINE GENERATION (the honest unit of replication — the serial
+fraction is a property of the code, and the engine changed between
+generations; pooling across them measures neither):
+{chr(10).join(f"- engine {e}: {runs_by_engine.get(e, 0)} runs, {len(v)} clean rounds {sorted(round(x, 3) for x in v)} → median **{_st.median(v):.3f}**" for e, v in sorted(by_engine.items()))}
+
+The all-generation spread ({spread} between *gated rounds*) is the
 shared VM's multi-core steal, which the single-core burn gates cannot
-see: an engine's serial fraction is a property of the code and cannot
-vary that much between back-to-back identical runs.  The clean-round
-maximum ({pooled_max:.3f}) sits at the Amdahl-implied engine ceiling at
-this fixture size (dated note, from the 2026-08-18 replication legs:
-T2=453 s, T8=132.5 s → serial s≈25 s → ceiling ≈0.86; re-derive if the
-fixture or engine changes).{dirty_txt}
+see: a serial fraction cannot vary that much between back-to-back
+identical runs.{dirty_txt}
 """)
     secs.append("""
 **Reading the two pairs together:** the 60k legs (2.5–10 min) fit
