@@ -5,7 +5,8 @@ Usage:
     python tools/append_replication.py /tmp/pair.json "<note>" [date]
 
 Appends the pair with kind="replication", recomputes the pooled
-clean-round statistics over all 60k production-shape runs, prints them,
+clean-round statistics over all in-protocol production-shape runs
+(leg-time criterion shared with bench_scaling.py), prints them,
 and re-renders BENCH/BASELINE.md from BENCH/summary.json so the pooled
 number shown next to the MET/NOT-MET verdict stays consistent with the
 JSON of record (ADVICE r4).
@@ -69,22 +70,30 @@ def main() -> None:
     )
     prod.write_text(json.dumps(d, indent=1))
 
+    # in-protocol = same data-driven leg-time criterion bench_scaling.py
+    # pools on: lo leg fits one host-noise window (≤ 20 min), hi leg ≥ 4×
+    # the ~30 s serial round floor (not latency-bound at this engine speed)
+    def in_protocol(p: dict) -> bool:
+        pr = p["pair"]
+        return pr["lo"]["sec"] <= 1200.0 and pr["hi"]["sec"] >= 120.0
+
     pooled = [
         r["eff"]
         for p in d["pairs"]
-        if p.get("n_pages") == 60000
+        if in_protocol(p)
         for r in p["pair"].get("rounds", [])
         if r.get("clean")
     ]
     cur = [
         r["eff"]
         for p in d["pairs"]
-        if p.get("n_pages") == 60000 and p.get("engine") == "r5"
+        if in_protocol(p) and p.get("engine") == "r5"
         for r in p["pair"].get("rounds", [])
         if r.get("clean")
     ]
     med = statistics.median(pooled) if pooled else None
-    print(f"appended; pooled clean rounds (60k, all engines) n={len(pooled)}: "
+    print(f"appended; pooled clean rounds (in-protocol, all engines) "
+          f"n={len(pooled)}: "
           f"{sorted(round(e, 3) for e in pooled)}")
     print(f"pooled median (all engines) = {med}")
     print(f"r5-engine clean rounds n={len(cur)}: "
