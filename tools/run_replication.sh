@@ -1,7 +1,10 @@
 #!/bin/bash
 # Wait for a clean host window (multi-core steal gate), then run one
 # gated replication pair and save its JSON.  Usage:
-#   bash tools/run_replication.sh <out.json> [rounds]
+#   bash tools/run_replication.sh <out.json> [rounds] [pages]
+# Pages must put BOTH legs inside the leg-time protocol window for the
+# current engine (BENCH/BASELINE.md: lo ≤ 20 min, hi ≥ 4× the ~30 s
+# serial floor) — for the r5 engine that is ≥ 120000.
 # The box must stay otherwise idle while this runs — concurrent Spark
 # jobs silently depress multi-core efficiency readings the single-core
 # burn gate cannot see.
@@ -9,6 +12,7 @@ set -e
 cd "$(dirname "$0")/.."
 OUT="${1:-/tmp/pair_rep.json}"
 ROUNDS="${2:-4}"
+PAGES="${3:-120000}"
 
 python - <<'EOF'
 import sys, time
@@ -27,7 +31,7 @@ EOF
 # production shape: every page seeded up front (few giant rounds) — the
 # only shape pair_prod.json pools.  --pair also forces this itself.
 export SPARK_GRAFT_BENCH_SEED_EVERY=1
-python tools/bench_scaling.py --pair 2 60000 "$ROUNDS" 2>/dev/null | tail -1 > "$OUT"
+python tools/bench_scaling.py --pair 2 "$PAGES" "$ROUNDS" 2>/dev/null | tail -1 > "$OUT"
 echo "pair done -> $OUT"
 python - "$OUT" <<'EOF'
 import json, sys
