@@ -433,6 +433,17 @@ def run_round(
     # enqueue-time global dedup: Bloom "definitely new" fast path + exact
     # anti-join confirm against the full enqueued-seen set (F2/F3 at scale)
     candidates = _extract_links(ok_html, cfg)
+    # persist is LOAD-BEARING for scaling (same family as `fresh` below):
+    # filter_new splits into definitely-new ∪ (maybe ⋈ anti seen) — TWO
+    # union branches over this subtree.  Unpersisted, each branch re-runs
+    # the round's heaviest chain (fetched-parquet html decompress → span
+    # link explode → fused resolve/canonicalize Arrow UDF) from the scan
+    # up; event-log task accounting at 120k pages showed both warm-up
+    # stages reading the full fetched parquet (27.5k rows/task each —
+    # the chain executed twice per round).  The exploded-candidate rows
+    # are NARROW (urls + lineage keys, no html/spans), so caching them is
+    # cheap relative to one extra decompress+explode+UDF pass.
+    candidates = candidates.persist()
     if cfg.use_bloom and bloom is not None:
         # the shard map was built from round-start `seen`, so run the Bloom
         # fast path against that set, then an exact anti-join against this
@@ -631,7 +642,7 @@ def run_round(
         "robots_delta": fetched_rules,
         "documents": documents,
         "metrics": metrics,
-        "_persisted": [windowed, new_batch, fresh],
+        "_persisted": [windowed, new_batch, candidates, fresh],
     }
 
 
