@@ -199,6 +199,53 @@ def window_probe(work: int = 6_000_000) -> dict:
     }
 
 
+def _bw_burn(_):
+    """One process of the streaming-bandwidth probe: GB/s of 100 MB
+    memcpy reps (numpy .copy() is a straight memmove — read+write
+    stream, no arithmetic)."""
+    import numpy as np
+
+    buf = np.ones(100_000_000, dtype=np.uint8)
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(3):
+        b = buf.copy()
+        acc += int(b[::10_000_000].sum())  # defeat dead-code elimination
+    dt = time.perf_counter() - t0
+    return 3 * 0.1 / dt
+
+
+def bandwidth_probe() -> dict:
+    """Host MEMORY-BANDWIDTH window probe: aggregate streaming-copy GB/s
+    at 2 procs vs 8 procs.  ~5 s.
+
+    Motivation (round 5): the arithmetic burn probes run in registers/L1
+    and see nothing when the binding host resource is the MEMORY BUS.
+    Measured on this VM: 1 proc 2.9 GB/s, 2 procs 5.1 GB/s aggregate,
+    8 procs 11.3 GB/s aggregate — a hard ~11 GB/s ceiling, i.e. 2→8
+    cores can deliver at most ~2.2× on bandwidth-bound work (scan /
+    parse / hash of ~20 KB pages is exactly that).  A local[2]→local[8]
+    pair shares ONE memory bus at both levels, so in a
+    bandwidth-saturated window NO data engine can measure 4×; on a real
+    cluster 4N executors bring 4N memory buses.  ``bw_scale`` =
+    (8-proc aggregate / 2-proc aggregate) is this window's achievable
+    2→8 ceiling for fully bandwidth-bound work (4.0 = unconstrained);
+    recorded per round so each efficiency reading can be judged against
+    the ceiling the host actually offered during that round."""
+    sums = {}
+    for procs in (2, 8):
+        best = 0.0
+        with mp.Pool(procs) as p:
+            for _ in range(2):  # best-of-2: scheduling noise only LOWERS it
+                best = max(best, sum(p.map(_bw_burn, range(procs))))
+        sums[procs] = best
+    return {
+        "gbps_2p": round(sums[2], 2),
+        "gbps_8p": round(sums[8], 2),
+        "bw_scale": round(sums[8] / sums[2], 2),
+    }
+
+
 def wait_clean_window(healthy_mops: float, max_wait_s: float = 600.0) -> dict:
     """Block until the host window is clean enough to evidence 2→8
     scaling: 8-proc per-proc rate ≥ 85% of the 1-proc rate (no steal
@@ -261,6 +308,10 @@ def interleaved_pair(
     while r_i < total:
         probe = (wait_clean_window(healthy_mops)
                  if healthy_mops is not None else {"clean": True})
+        # bandwidth ceiling of THIS round's window, on the record (does
+        # not gate: it contextualizes the eff reading — a 0.55 round in
+        # a bw_scale=2.2 window is the host's ceiling, not the engine's)
+        bw = bandwidth_probe() if healthy_mops is not None else None
         pair = {}
         leg_probes = []
         for cpus in (n, 4 * n):
@@ -277,7 +328,7 @@ def interleaved_pair(
         eff = (pair[4 * n]["pages_per_sec"] / pair[n]["pages_per_sec"]) / 4.0
         round_recs.append(
             {"eff": round(eff, 3), "clean": clean, "probe": probe,
-             "leg_probes": leg_probes,
+             "bw": bw, "leg_probes": leg_probes,
              "mid": {c: pair[c].get("mid_burn_median") for c in (n, 4 * n)}}
         )
         for cpus in (n, 4 * n):
