@@ -642,13 +642,20 @@ Measured {p.get('date', '')}; raw JSON in BENCH/pair_prod.json.
                    else "hi leg < 4× serial floor (latency-bound)")
                 + "]"
             )
+            bw_vals = [
+                r["bw"]["bw_scale"] for r in pr.get("rounds", [])
+                if r.get("bw")
+            ]
+            bw_txt = (
+                f", per-round host bw_scale {bw_vals}" if bw_vals else ""
+            )
             lines.append(
                 f"- {p.get('date','')} [engine {p.get('engine', 'r4')}, "
                 f"{pr['lo'].get('n_pages', p.get('n_pages')):,} pages]"
                 f"{proto}: "
                 f"{len(pr.get('rounds', []))} rounds, "
                 f"{len(clean)} clean → clean effs {clean}, "
-                f"best-of-reps {pr['scaling_efficiency']:.3f} "
+                f"best-of-reps {pr['scaling_efficiency']:.3f}{bw_txt} "
                 f"({p.get('note','')})"
             )
         spread = (
@@ -703,6 +710,24 @@ above therefore keys on measured leg times, not a fixed page count: the
 in-protocol fixture grows with the engine exactly as a production
 frontier's rounds do.  The per-engine pooled clean-round median is the
 cross-run statistic of record.
+
+**The host's memory-bandwidth ceiling (round-5 finding).**  The burn
+gates above are ARITHMETIC probes — they run in registers and cannot
+see the binding host resource for scan/parse/hash work: the memory
+bus.  Measured with a streaming-copy probe, this VM's aggregate
+bandwidth swings between ~11 and ~24 GB/s from minute to minute; at
+the 11 GB/s floor two cores already draw ~5 GB/s, capping ANY data
+engine's 2→8-core scaling at ~2.2× in that window (verified: a
+pure-JVM sha2 pipeline and a pandas-UDF scan — 16 even in-memory
+partitions, no shuffle, no driver work — both scaled ~2.2× while the
+arithmetic probe read clean at mc_ratio 0.86–1.0).  A local-mode pair
+shares ONE memory bus at both parallelism levels; on a real cluster
+4N executors bring 4N memory buses, so the local proxy structurally
+under-credits bandwidth-bound scaling.  Gated rounds therefore record
+``bw_scale`` — the 8-proc/2-proc aggregate streaming bandwidth during
+the round's window, i.e. the ceiling a fully bandwidth-bound job could
+have achieved (4.0 = unconstrained) — and each efficiency reading
+should be judged against its round's recorded ceiling.
 """)
     sec = "".join(secs) + "\n"
     # insert right after the intro (before the first "## Pair A" section)
