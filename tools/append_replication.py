@@ -2,7 +2,7 @@
 
 Usage:
     python tools/bench_scaling.py --pair 2 60000 4 | tail -1 > /tmp/pair.json
-    python tools/append_replication.py /tmp/pair.json "<note>" [date]
+    python tools/append_replication.py /tmp/pair.json "<note>" [date] [engine]
 
 Appends the pair with kind="replication", recomputes the pooled
 clean-round statistics over all in-protocol production-shape runs
@@ -56,9 +56,13 @@ def main() -> None:
     # engine generation stamp: replication rounds are only comparable
     # within one engine generation (the serial fraction is a property of
     # the code).  "r5" = the post-933e480 engine (fresh persisted,
-    # unconditional warm-up, identity-window short-circuit); everything
-    # recorded before that commit is "r4".  The exact commit rides along
-    # for provenance.
+    # unconditional warm-up, identity-window short-circuit); "r5b" = the
+    # post-5598748 engine (candidates chain persisted — round −27% at
+    # both levels); everything recorded before 933e480 is "r4".  The
+    # exact commit rides along for provenance.  Optional 4th argv
+    # overrides the stamp when appending a run measured on an older
+    # checkout.
+    engine = sys.argv[4] if len(sys.argv) > 4 else "r5b"
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True, cwd=str(REPO),
@@ -66,7 +70,7 @@ def main() -> None:
     d["pairs"].append(
         {"pair": pair, "n_pages": n_pages, "date": date,
          "kind": "replication", "note": note,
-         "engine": "r5", "engine_commit": commit}
+         "engine": engine, "engine_commit": commit}
     )
     prod.write_text(json.dumps(d, indent=1))
 
@@ -87,7 +91,7 @@ def main() -> None:
     cur = [
         r["eff"]
         for p in d["pairs"]
-        if in_protocol(p) and p.get("engine") == "r5"
+        if in_protocol(p) and p.get("engine") == engine
         for r in p["pair"].get("rounds", [])
         if r.get("clean")
     ]
@@ -96,7 +100,7 @@ def main() -> None:
           f"n={len(pooled)}: "
           f"{sorted(round(e, 3) for e in pooled)}")
     print(f"pooled median (all engines) = {med}")
-    print(f"r5-engine clean rounds n={len(cur)}: "
+    print(f"{engine}-engine clean rounds n={len(cur)}: "
           f"{sorted(round(e, 3) for e in cur)} -> median "
           f"{statistics.median(cur) if cur else None}")
     subprocess.run(
