@@ -42,7 +42,24 @@ from distributed_web_crawling_and_indexing_system_gcp_spark.operators.topk impor
 # ---------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a fixture table, fanning single-split scans out to the
+    session's parallelism.
+
+    The fixture parquet files are one row group each, so the scan stage
+    arrives as ONE task no matter the core count — every per-row
+    expression (tokenize/shingle/md5/HOF math, the dominant cost of the
+    text/dedup family) was serializing on one core (measured: the
+    minhash signature pass alone dropped 6.2 s → 0.7 s at sf0.1 once
+    spread).  Scale-adaptive, not a local[32] constant: when the scan
+    already yields >= defaultParallelism splits (any real-scale table)
+    this is a no-op, and the repartition count follows the session's
+    parallelism, never a hard-coded figure (guide §2.5 input skew: "one
+    huge unsplittable file — repartition immediately after the read")."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if n > 1 and df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
 
 
 # Synthesized URL column over documents — identical construction on both

@@ -57,13 +57,16 @@ def exact_dup_groups(
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc, shingle) distinct rows."""
-    return (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
-        )
-        .distinct()
+    """(doc, shingle) distinct rows.
+
+    ``array_distinct`` already dedupes within the doc and ``doc`` rows are
+    unique, so the exploded rows are distinct BY CONSTRUCTION — a
+    ``.distinct()`` here would be a semantic no-op costing a full shuffle
+    of the widest relation in the dedup family (guide §2.4: remove
+    shuffles the data's invariants make redundant)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("shingle"),
     )
 
 
@@ -89,7 +92,14 @@ def ngram_jaccard_pairs(
     semantics — the cap is an explicit opt-in, never a silent behavior
     change for callers.
     """
-    sh = _shingle_rows(df, id_col, text_col, k)
+    # materialize the exploded shingle relation ONCE: freq, sizes and both
+    # self-join sides all consume it, and an unpersisted subtree would
+    # re-run the scan + tokenize + shingle explode (the heaviest string
+    # work in this operator) once per consumer — the plan audit showed 7
+    # copies of the explode subtree (guide §1.2 step 1: don't compute
+    # things twice).  localCheckpoint is per-invocation state computed
+    # from the parquet input; nothing is reused across calls.
+    sh = _shingle_rows(df, id_col, text_col, k).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
         sh = sh.join(freq.select("shingle"), "shingle")
@@ -122,7 +132,16 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc, minh_0..minh_{n-1}) — lexicographic min of seeded md5 hex over
     the doc's shingle set.  md5-hex min is a valid uniform MinHash and is
-    bit-identical in DuckDB (`min(md5('i|' || shingle))`)."""
+    bit-identical in DuckDB (`min(md5('i|' || shingle))`).
+
+    Deliberately the explode → groupBy(doc) → min form: the md5s evaluate
+    inside the (codegen'd) partial aggregate over narrow rows.  The
+    shuffle-free alternative — ``array_min(transform(shingles, md5))`` as
+    a per-row map — was measured 8× SLOWER at bench scale (5.6 s vs
+    0.7 s, 32-way scan): higher-order-function lambdas are interpreted
+    per element, which costs far more than the one compact
+    hash-partition exchange this plan keeps (guide §1.1: the "ideal"
+    zero-shuffle plan lost to the measured one)."""
     sh = _shingle_rows(df, id_col, text_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"minh_{i}")
@@ -159,6 +178,11 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "doc", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    # materialize once: both self-join sides consume `banded`, and the
+    # signature computation (num_hashes md5 passes over every shingle) is
+    # the operator's dominant cost — unpersisted, each side re-runs it
+    # (per-invocation state, recomputed from the input every call)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.withColumnRenamed("doc", "doc_a")
     b = banded.withColumnRenamed("doc", "doc_b")
     return (
@@ -177,12 +201,28 @@ def simhash_signature(text_col, nibbles: int = 16):
     position i are >= '8' (top half of the nibble range).  Pure Catalyst
     (explode-free: higher-order array functions), DuckDB-reproducible.
     """
-    toks = F.array_distinct(ws_tokens(norm_text(text_col)))
+    return _simhash_from_md5s(_token_md5s(text_col), nibbles)
+
+
+def _token_md5s(text_col):
+    """md5 hex of every distinct whitespace token of normalized text."""
+    return F.transform(
+        F.array_distinct(ws_tokens(norm_text(text_col))), lambda t: F.md5(t)
+    )
+
+
+def _simhash_from_md5s(md5s, nibbles: int = 16):
+    """SimHash bit string from a precomputed token-md5 array column.
+
+    Votes read the already-hashed strings, so when ``md5s`` is a
+    materialized column (see :func:`simhash_buckets`) each token is hashed
+    ONCE instead of once per nibble position — 16× less md5 work for
+    bit-identical output (guide §1.2 step 2)."""
 
     def vote_merge(pos: int):
-        def merge(acc, t):
+        def merge(acc, h):
             hot = (
-                F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(t), pos, 1))
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1))
                 >= F.lit(9)
             )
             return acc + F.when(hot, F.lit(1)).otherwise(F.lit(-1))
@@ -191,15 +231,23 @@ def simhash_signature(text_col, nibbles: int = 16):
 
     bits = []
     for i in range(1, nibbles + 1):
-        votes = F.aggregate(toks, F.lit(0), vote_merge(i))
+        votes = F.aggregate(md5s, F.lit(0), vote_merge(i))
         bits.append(F.when(votes >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
 def simhash_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(simhash, n_docs, doc_ids) buckets with >1 member = near-dup sets."""
-    sig = df.select(
-        F.col(id_col).alias("doc"), simhash_signature(F.col(text_col)).alias("simhash")
+    """(simhash, n_docs, doc_ids) buckets with >1 member = near-dup sets.
+
+    Two-step projection: the token-md5 array becomes a real column first,
+    so the 16 per-nibble votes read it instead of re-hashing every token
+    per position (a single fused expression would be duplicated 16× by
+    the planner — multi-referenced non-cheap aliases stay materialized)."""
+    hashed = df.select(
+        F.col(id_col).alias("doc"), _token_md5s(F.col(text_col)).alias("_md5s")
+    )
+    sig = hashed.select(
+        "doc", _simhash_from_md5s(F.col("_md5s")).alias("simhash")
     )
     return (
         sig.groupBy("simhash")
@@ -244,14 +292,35 @@ def embedding_near_dup_pairs(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if bucket_col:
         cols.append(F.col(bucket_col).alias("bucket"))
-    base = df.select(*cols)
+    # precompute each vector's norm ONCE per row (narrow map) instead of
+    # re-aggregating both norms inside every pair (guide §1.2 step 2: a
+    # bucket of n vectors pays n norm passes, not n² — only the dot
+    # product is inherently per-pair).  Same expression as cosine_expr's
+    # norm on the same vector ⇒ bit-identical doubles.
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("vec"), F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    base = df.select(*cols).withColumn("norm", norm)
     a = base.select(*[F.col(c).alias(f"{c}_a") for c in base.columns])
     b = base.select(*[F.col(c).alias(f"{c}_b") for c in base.columns])
     on = [F.col("id_a") < F.col("id_b")]
     if bucket_col:
         on.append(F.col("bucket_a") == F.col("bucket_b"))
     pairs = a.join(b, on[0] if len(on) == 1 else (on[0] & on[1]))
-    scored = pairs.withColumn("cosine", cosine_expr(F.col("vec_a"), F.col("vec_b")))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("vec_a"), F.col("vec_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = pairs.withColumn(
+        "cosine", dot / (F.col("norm_a") * F.col("norm_b"))
+    )
     return scored.filter(F.col("cosine") >= threshold).select(
         F.col("id_a"), F.col("id_b"), "cosine"
     )

@@ -63,17 +63,27 @@ def pagerank(
     Deterministic given a deterministic edge list, so oracle-checkable by
     unrolling the same iterations as SQL CTEs (see __spark_entry__).
     """
-    nodes = graph_nodes(edges)
+    # nodes is consumed by every iteration's rank update (and by the n
+    # count) — checkpoint it ONCE so the union+distinct shuffle does not
+    # re-run per iteration (loop-invariant hoisting, guide §2.4).
+    nodes = graph_nodes(edges).localCheckpoint(eager=True)
     # one scalar count on the node dimension (driver-side, same as GraphX);
     # everything else stays distributed
     n = nodes.count()
+    # the (edges ⋈ out_deg) join is loop-invariant too: attach out_deg to
+    # each edge once, outside the loop, so every iteration runs ONE join
+    # (ranks) instead of two (ranks, out_deg)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edges_deg = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iterations):
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(out_deg, "src")
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("contrib"),
@@ -139,8 +149,13 @@ def _cc_label_prop(
     edges: DataFrame, max_iterations: int
 ) -> tuple[DataFrame, bool]:
     """Min-label propagation; returns (labels, converged).  Convergence is
-    an exact changed-row check — an action per round on the node
-    dimension only, never on the edge list."""
+    an exact label-sum check: per-node labels are MONOTONICALLY
+    non-increasing under min-propagation, so Σ component is strictly
+    smaller after any change and equal iff the fixpoint is reached — one
+    scalar aggregate per round instead of the old labels⋈new_labels
+    changed-row join (same action count, one join and one shuffle less
+    per round; decimal sum so huge node-id sums can't overflow under
+    ANSI mode)."""
     und = (
         edges.select("src", "dst")
         .unionByName(
@@ -153,6 +168,13 @@ def _cc_label_prop(
     )
     labels = graph_nodes(und).withColumn("component", F.col("node"))
     labels = labels.localCheckpoint(eager=False)
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iterations):
         neigh = und.join(labels, und["src"] == labels["node"]).select(
@@ -164,17 +186,12 @@ def _cc_label_prop(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     return labels, converged
 
 
