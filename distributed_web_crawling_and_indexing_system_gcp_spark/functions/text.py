@@ -76,11 +76,32 @@ def quality_score(text: Column) -> Column:
     + 0.25 * min(1, 4*stopword_ratio)      (natural-language function words)
     + 0.25 * clamp01((mean_token_len-2)/6) (plausible word lengths)
     """
-    n = token_count_ws(text).cast("double")
+    return quality_score_from(
+        text, ws_tokens(text), ws_tokens(F.lower(text))
+    )
+
+
+def quality_score_from(text: Column, toks: Column, ltoks: Column) -> Column:
+    """:func:`quality_score` over PRE-TOKENIZED arrays (``toks`` =
+    ws_tokens(text), ``ltoks`` = ws_tokens(lower(text))).
+
+    Catalyst does not share common subexpressions across the four quality
+    terms, so the fused form re-tokenizes the document once per term;
+    callers that project the token arrays as real columns first (see
+    ``corpus_clean``) pay for tokenization once.  Identical expressions
+    over identical inputs ⇒ value-identical scores."""
+    n = F.size(toks).cast("double")
     length_term = F.least(F.lit(1.0), n / F.lit(100.0))
     punct_term = F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct_ratio(text))
-    stop_term = F.least(F.lit(1.0), F.lit(4.0) * stopword_ratio(text))
-    mtl = mean_token_len(text)
+    stops = F.filter(ltoks, lambda t: t.isin(*STOPWORDS))
+    stop_ratio = F.when(
+        F.size(ltoks) > 0, F.size(stops) / F.size(ltoks)
+    ).otherwise(F.lit(0.0))
+    stop_term = F.least(F.lit(1.0), F.lit(4.0) * stop_ratio)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mtl = F.when(
+        F.size(toks) > 0, total.cast("double") / F.size(toks)
+    ).otherwise(F.lit(0.0))
     len_term = F.greatest(
         F.lit(0.0), F.least(F.lit(1.0), (mtl - F.lit(2.0)) / F.lit(6.0))
     )
@@ -101,7 +122,20 @@ def lang_marker_score(text: Column, lang: str) -> Column:
 def lang_id(text: Column) -> Column:
     """argmax over marker scores; ties broken by fixed language order
     en > es > fr > de; zero hits everywhere → 'und'."""
-    scores = {lg: lang_marker_score(text, lg) for lg in LANG_MARKERS}
+    return lang_id_from(ws_tokens(F.lower(text)))
+
+
+def lang_id_from(ltoks: Column) -> Column:
+    """:func:`lang_id` over a PRE-TOKENIZED lowercased token array.
+
+    The argmax references every language's marker count several times
+    (greatest + the when-chain); with ``ltoks`` a real column those
+    references are cheap array filters instead of one re-tokenization of
+    the document each (≈10 tokenizations per row in the fused form)."""
+    scores = {
+        lg: F.size(F.filter(ltoks, lambda t: t.isin(*LANG_MARKERS[lg])))
+        for lg in LANG_MARKERS
+    }
     best = F.greatest(*scores.values())
     result = F.lit("und")
     # build reversed so earlier langs win ties via later .when precedence
@@ -152,7 +186,9 @@ __all__ = [
     "punct_ratio",
     "mean_token_len",
     "quality_score",
+    "quality_score_from",
     "lang_id",
+    "lang_id_from",
     "lang_marker_score",
     "norm_text",
     "fingerprint_md5",

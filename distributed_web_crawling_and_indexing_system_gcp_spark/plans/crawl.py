@@ -403,12 +403,27 @@ def run_round(
         parse_html_udf(F.when(F.col("fetch_outcome") == "ok_html", F.col("html"))),
     )
     _t = _phase("plan_build_prefetch", _t_round0)
+    # NARROW round state (VERDICT r5 #2 / guide §8: "make every shuffle
+    # but the last operate on a lightweight proxy"): with the closed-world
+    # synthetic fetcher the raw ``html`` bodies are deterministically
+    # re-derivable from ``web_pages`` by request URL, so the round-state
+    # parquet — which every post-parse consumer reads — omits the heaviest
+    # column entirely; ``documents`` re-attaches html with one lazy join
+    # that only executes if a caller materializes the documents sink.
+    # With an injected production fetcher bodies are NOT refetchable and
+    # stay inline.  Opt out with extra["narrow_round_state"]=False.
+    drop_html = (
+        scratch is not None
+        and cfg.extra.get("fetcher") is None
+        and cfg.extra.get("narrow_round_state", True)
+    )
     if scratch is not None:
         # columnar round state: the six status branches + metrics prune to
         # the narrow frontier columns; only documents/link extraction read
-        # the heavy html/spans column chunks
+        # the heavy spans column chunks
         path = f"{scratch}/fetched_r{round_no:05d}"
-        fetched_lazy.write.mode("overwrite").parquet(path)
+        state_out = fetched_lazy.drop("html") if drop_html else fetched_lazy
+        state_out.write.mode("overwrite").parquet(path)
         fetched = spark.read.parquet(path)
     else:
         fetched = fetched_lazy.localCheckpoint(
@@ -418,7 +433,16 @@ def run_round(
     ok_html = fetched.filter(F.col("fetch_outcome") == "ok_html")
 
     # -- documents: one row per fetched HTML page ---------------------------
-    documents = ok_html.select(
+    doc_src = ok_html
+    if drop_html:
+        # re-attach bodies from the closed-world fixture: the fetch join
+        # keyed html by the exact request url, so this reproduces the
+        # dropped column bit-for-bit (left join — every ok_html row came
+        # from a fixture hit by construction)
+        doc_src = ok_html.join(
+            web_pages.select("url", "html"), "url", "left"
+        )
+    documents = doc_src.select(
         F.coalesce(F.col("final_url"), F.col("url")).alias("doc_id"),
         F.col("canonical_url"),
         F.col("task_id"),
@@ -722,6 +746,40 @@ def run_crawl(
     committed round (bit-identical to an uninterrupted run — verified by
     tests/test_resume.py).
     """
+    # crawl-scoped session conf (cfg.extra["conf"]): applied for the round
+    # loop and RESTORED afterwards, so callers can tune runtime knobs (AQE,
+    # partition advisories) for the crawl without leaking them into the
+    # rest of the session's queries
+    _conf_overrides = cfg.extra.get("conf") or {}
+    _conf_saved: dict[str, str | None] = {}
+    for _k, _v in _conf_overrides.items():
+        try:
+            _conf_saved[_k] = spark.conf.get(_k)
+        except Exception:
+            _conf_saved[_k] = None
+        spark.conf.set(_k, _v)
+
+    try:
+        return _run_crawl_inner(
+            spark, seed_jobs, web_pages, robots_src, cfg, store, resume
+        )
+    finally:
+        for _k, _old in _conf_saved.items():
+            if _old is None:
+                spark.conf.unset(_k)
+            else:
+                spark.conf.set(_k, _old)
+
+
+def _run_crawl_inner(
+    spark: SparkSession,
+    seed_jobs: DataFrame,
+    web_pages: DataFrame,
+    robots_src: DataFrame,
+    cfg: CrawlConfig,
+    store: SnapshotStore | None = None,
+    resume: bool = False,
+) -> dict[str, DataFrame]:
     if resume:
         assert store is not None and store.current_round() >= 0
         start_round = store.current_round() + 1
@@ -806,9 +864,17 @@ def run_crawl(
         ):
             break
         if driver_mode and round_no == start_round:
-            # one initial check only; thereafter the metric counts decide
-            if frontier.filter(retryable).limit(1).count() == 0:
+            # one initial job only; thereafter the metric counts decide.
+            # A FULL count (the frontier is a localCheckpoint — counting
+            # it is metadata-cheap) instead of the old limit(1) emptiness
+            # probe: the exact figure seeds pending_hint, so an
+            # under-budget round 0 skips its provably-identity politeness
+            # windows exactly like the metric-hinted later rounds do.
+            n_start = frontier.filter(retryable).count()
+            if n_start == 0:
                 break
+            if cfg.extra.get("round0_hint", True):
+                pending_hint = n_start
         if cfg.use_bloom and bloom is None:
             # full build only on entry (empty at fresh start; one pass on
             # resume) — thereafter updated incrementally from round deltas
