@@ -41,23 +41,42 @@ from distributed_web_crawling_and_indexing_system_gcp_spark.operators.topk impor
 # helpers
 # ---------------------------------------------------------------------------
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a fixture table, fanning single-split scans out to the
-    session's parallelism.
+# (sf_dir, name) → scan split count; planning metadata only (never row
+# data), probed once per process — the .rdd partition-count probe costs
+# tens of ms of py4j planning per call, which dominates sub-second queries
+_SCAN_SPLITS: dict[tuple[str, str], int] = {}
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a fixture table; with ``spread=True`` fan a single-split scan
+    out to the session's parallelism.
 
     The fixture parquet files are one row group each, so the scan stage
     arrives as ONE task no matter the core count — every per-row
     expression (tokenize/shingle/md5/HOF math, the dominant cost of the
     text/dedup family) was serializing on one core (measured: the
     minhash signature pass alone dropped 6.2 s → 0.7 s at sf0.1 once
-    spread).  Scale-adaptive, not a local[32] constant: when the scan
-    already yields >= defaultParallelism splits (any real-scale table)
-    this is a no-op, and the repartition count follows the session's
-    parallelism, never a hard-coded figure (guide §2.5 input skew: "one
-    huge unsplittable file — repartition immediately after the read")."""
+    spread).  ``spread`` is OPT-IN per query because the repartition is
+    itself one exchange of the raw rows: a win only where per-row work
+    dominates (tokenize/hash/HOF families), a measured 0.1-0.3 s loss on
+    trivial-projection/aggregate queries whose first shuffle already
+    redistributes.  Scale-adaptive, not a local[32] constant: when the
+    scan already yields >= defaultParallelism splits (any real-scale
+    table) this is a no-op, and the repartition count follows the
+    session's parallelism (guide §2.5 input skew: "one huge unsplittable
+    file — repartition immediately after the read")."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not spread:
+        return df
     n = spark.sparkContext.defaultParallelism
-    if n > 1 and df.rdd.getNumPartitions() < n:
+    if n <= 1:
+        return df
+    key = (sf_dir, name)
+    if key not in _SCAN_SPLITS:
+        _SCAN_SPLITS[key] = df.rdd.getNumPartitions()
+    if _SCAN_SPLITS[key] < n:
         df = df.repartition(n)
     return df
 
@@ -528,7 +547,7 @@ def _q_spans_interleave(spark, sf_dir):
     document deterministically, then compute the flattened text view over
     text spans (== crawler's joined stripped_strings semantics) and the
     media-span count.  Shows the span machinery is SQL-reproducible."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     toks = TX.ws_tokens(F.col("text"))
     # kind decided per-token from md5 (cross-engine): ~1/8 become media
     spans = F.transform(
@@ -562,7 +581,7 @@ def _q_search_tfidf(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_postings(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return SE.build_postings(d, "doc_id", "text")
 
 
@@ -741,7 +760,7 @@ def _q_dedup_exact(spark, sf_dir):
     # exact dedup via the shipped operator, fingerprinting a 16-char
     # normalized prefix (full-text exact dups do not exist in this
     # synthetic corpus; the operator's groupBy shape is identical)
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     groups = DD.exact_dup_groups(
         d, "doc_id", "text",
         fingerprint=F.md5(F.substring(TX.norm_text(F.col("text")), 1, 16)),
@@ -755,7 +774,7 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     pairs = DD.ngram_jaccard_pairs(
         d, "doc_id", "text", k=3, threshold=0.5, max_shingle_df=1024
     )
@@ -765,7 +784,7 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return DD.minhash_lsh_candidates(
         d, "doc_id", "text", k=3, num_hashes=8, bands=4
     )
@@ -778,7 +797,7 @@ def _q_perplexity(spark, sf_dir):
         corpus as CP,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return CP.unigram_nll(d, "doc_id", "text")
 
 
@@ -815,12 +834,12 @@ def _q_recrawl_priority(spark, sf_dir):
 def _q_dedup_cluster(spark, sf_dir):
     """Fuzzy-dedup clusters: LSH pairs → connected components → canonical
     doc per cluster (the C4/RefinedWeb-style corpus dedup composition)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return DD.near_dup_clusters(d, "doc_id", "text", k=3, num_hashes=8, bands=4)
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     b = DD.simhash_buckets(d, "doc_id", "text")
     return b.select(
         "simhash",
@@ -832,7 +851,7 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t(spark, sf_dir, "embeddings", spread=True)
     pairs = DD.embedding_near_dup_pairs(
         e, "vec_id", "embedding", threshold=0.0, bucket_col="label"
     )
@@ -885,7 +904,7 @@ def _q_ann_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_token_count(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         TX.token_count_ws(F.col("text")).alias("n_ws"),
@@ -896,7 +915,7 @@ def _q_token_count(spark, sf_dir):
 def _q_text_quality(spark, sf_dir):
     # token arrays projected once and shared by the three metrics (same
     # expressions, same values — see _q_corpus_clean)
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     toked = d.select(
         "doc_id",
         "text",
@@ -929,7 +948,7 @@ def _q_text_quality(spark, sf_dir):
 
 
 def _q_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -945,7 +964,7 @@ def _q_corpus_clean(spark, sf_dir):
     instead of ~10 (Catalyst has no cross-expression CSE for the
     higher-order filters these heuristics are built from) — identical
     expressions over identical inputs, value-identical output."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     toked = d.select(
         "doc_id",
         "text",
@@ -982,7 +1001,7 @@ def _q_corpus_clean(spark, sf_dir):
 
 
 def _q_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         TX.fingerprint_md5(F.col("text")).alias("fp_md5"),

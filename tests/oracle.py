@@ -217,6 +217,7 @@ def crawl_oracle(
                     "round": round_no,
                     "spans": spans,
                     "text": text,
+                    "html": page["html"],
                 }
             )
 

@@ -104,6 +104,22 @@ def test_span_sequence_equality(engine_result, oracle_result):
         assert ed["round"] == od["round"]
 
 
+def test_document_html_equality(engine_result, oracle_result):
+    """The narrow round state drops ``html`` from the fetched parquet and
+    re-attaches it to the documents sink with a lazy join keyed by the
+    request URL — this pins that the re-attached bodies are the exact
+    fixture bodies (and non-null) for every extracted document."""
+    engine_docs = {
+        r["canonical_url"]: r["html"]
+        for r in engine_result["documents"].collect()
+    }
+    oracle_docs = {d["canonical_url"]: d["html"] for d in oracle_result.documents}
+    assert set(engine_docs) == set(oracle_docs)
+    for canon, want_html in oracle_docs.items():
+        assert engine_docs[canon] == want_html, canon
+        assert engine_docs[canon] is not None
+
+
 def test_politeness_budget_respected(engine_result):
     """No host exceeds the per-round budget among processed rows."""
     from pyspark.sql import functions as F

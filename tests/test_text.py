@@ -91,3 +91,29 @@ def test_shingles_order_and_content(spark):
     df = spark.createDataFrame([("a b c d e",)], "text string")
     row = df.select(TX.shingles(F.col("text"), 3).alias("s")).collect()[0]
     assert row["s"] == ["a b c", "b c d", "c d e"]
+
+
+def test_pretokenized_forms_match_fused(spark, df):
+    """quality_score_from / lang_id_from over projected token arrays must
+    equal the fused quality_score / lang_id exactly (the pre-tokenized
+    forms exist so hot queries share ONE tokenization per row — any value
+    drift would silently change oracle-checked scores)."""
+    toked = df.select(
+        "doc_id",
+        "text",
+        TX.ws_tokens(F.col("text")).alias("_toks"),
+        TX.ws_tokens(F.lower(F.col("text"))).alias("_ltoks"),
+    )
+    rows = toked.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("q_fused"),
+        TX.quality_score_from(
+            F.col("text"), F.col("_toks"), F.col("_ltoks")
+        ).alias("q_pre"),
+        TX.lang_id(F.col("text")).alias("l_fused"),
+        TX.lang_id_from(F.col("_ltoks")).alias("l_pre"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["q_fused"] == r["q_pre"], r["doc_id"]
+        assert r["l_fused"] == r["l_pre"], r["doc_id"]
