@@ -646,20 +646,18 @@ def _q_search_multifield(spark, sf_dir):
     content-only scorer."""
     p, dl = _bm25_sidetables(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
-    # materialize the on-the-fly url-postings stream once: the BM25 plan
-    # references its postings four times (hits, per-term df, doc lengths,
-    # corpus stats) and would otherwise re-run the URL tokenize+explode+
-    # groupBy per reference (the plan audit counted 46 Exchanges); the
-    # url doclens are handed over explicitly for the same reason —
-    # identical values, derived from the same stream
-    up = SE.build_url_postings(
-        d.withColumn("url", _url_col()), "doc_id", "url"
-    ).localCheckpoint(eager=True)
+    # examined for r6 and deliberately left in the rebuild-per-reference
+    # form: an eager checkpoint of the url-postings stream (plus explicit
+    # url doclens) was A/B'd at 1.84/1.31 s vs 1.31/1.21 s for this form
+    # (cold/warm best-of-3, sf0.1) — AQE exchange reuse already dedupes
+    # the url-postings subtree at runtime, so the checkpoint job is pure
+    # added latency (guide §1.1: measure, don't assume)
+    up = SE.build_url_postings(d.withColumn("url", _url_col()), "doc_id", "url")
     out = SE.search_multifield(
         {"content": p, "url": up},
         ["window", "src7"],
         k=10,
-        field_doclens={"content": dl, "url": SE.doc_lengths(up)},
+        field_doclens={"content": dl},
     )
     return out.select("doc", F.round("score", 6).alias("score"), "rank")
 

@@ -81,24 +81,29 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    # zero contribution per node, unioned into the inflow aggregation:
+    # replaces the per-iteration (nodes LEFT JOIN contribs) — the union
+    # rides the groupBy's existing shuffle, so each iteration is ONE join
+    # + ONE aggregation instead of two joins + one aggregation.  Adding a
+    # 0.0 term to an IEEE sum never changes it, so ranks are
+    # value-identical to the coalesce(inflow, 0.0) form.
+    zero_seed = nodes.select("node", F.lit(0.0).alias("contrib"))
     for _ in range(iterations):
-        contribs = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("contrib"),
-            )
+        contribs = edges_deg.join(
+            ranks, edges_deg["src"] == ranks["node"]
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("out_deg")).alias("contrib"),
+        )
+        inflow = (
+            zero_seed.unionByName(contribs)
             .groupBy("node")
             .agg(F.sum("contrib").alias("inflow"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
+            inflow.select(
                 "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
+                (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("rank"),
             )
             # truncate lineage so the logical plan stays O(1) per iteration
             .localCheckpoint(eager=False)
