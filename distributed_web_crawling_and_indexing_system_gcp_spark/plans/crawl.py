@@ -395,12 +395,24 @@ def run_round(
         ).drop("host_salt")
     else:
         raw_fetched = fetch_synthetic(allowed, web_pages)
-    # parse a MASKED column: only ok_html bodies reach the HTML parser —
-    # with a production fetcher, non-HTML 2xx bodies (PDFs etc.) are
-    # non-null and would otherwise burn parser time in the hottest stage
+    # parse a MASKED column: only ok_html bodies of EXPANDABLE rows reach
+    # the HTML parser in the hot fetch stage —
+    # - non-HTML 2xx bodies (PDFs etc.) would burn parser time for
+    #   nothing with a production fetcher;
+    # - pages already AT their depth limit never feed link extraction
+    #   (guide §1.2: don't compute what you throw away — at max_depth=1
+    #   that is HALF the fetched pages), so their spans are derived
+    #   lazily by the documents sink below, only if a caller
+    #   materializes documents.  Opt out: extra["lazy_parse"]=False.
+    _eff_limit = F.coalesce(F.col("depth_limit"), F.lit(cfg.max_depth))
+    if cfg.extra.get("lazy_parse", True):
+        _parse_mask = (F.col("fetch_outcome") == "ok_html") & (
+            F.col("depth") < _eff_limit
+        )
+    else:
+        _parse_mask = F.col("fetch_outcome") == "ok_html"
     fetched_lazy = classify_fetch(raw_fetched).withColumn(
-        "spans",
-        parse_html_udf(F.when(F.col("fetch_outcome") == "ok_html", F.col("html"))),
+        "spans", parse_html_udf(F.when(_parse_mask, F.col("html")))
     )
     _t = _phase("plan_build_prefetch", _t_round0)
     # NARROW round state (VERDICT r5 #2 / guide §8: "make every shuffle
@@ -442,14 +454,30 @@ def run_round(
         doc_src = ok_html.join(
             web_pages.select("url", "html"), "url", "left"
         )
+    # spans for at-depth-limit pages were skipped in the fetch stage (see
+    # _parse_mask): derive them here, lazily, from the (re-attached) html
+    # — parse_html_udf is deterministic, so the lazy spans are identical
+    # to eagerly-parsed ones (pinned by test_span_sequence_equality, which
+    # covers documents at the depth limit).  The two-step projection keeps
+    # the parse UDF evaluated once per row (spans + text both read the
+    # projected column).
+    doc_src = doc_src.withColumn(
+        "_spans_full",
+        F.coalesce(
+            F.col("spans"),
+            parse_html_udf(
+                F.when(F.col("spans").isNull(), F.col("html"))
+            ),
+        ),
+    )
     documents = doc_src.select(
         F.coalesce(F.col("final_url"), F.col("url")).alias("doc_id"),
         F.col("canonical_url"),
         F.col("task_id"),
         F.col("depth"),
         F.lit(round_no).alias("round"),
-        F.col("spans"),
-        text_view(F.col("spans")).alias("text"),
+        F.col("_spans_full").alias("spans"),
+        text_view(F.col("_spans_full")).alias("text"),
         F.col("html"),
     )
 
@@ -822,7 +850,9 @@ def _run_crawl_inner(
     # url_hash bucketing also gives next round's anti-joins a stable
     # co-partitioning.  (At 10^10 scale the same normalization is the
     # Iceberg state-table write: bucket(url_hash) partitioning.)
-    n_buckets = spark.sparkContext.defaultParallelism
+    n_buckets = int(
+        cfg.extra.get("n_buckets", spark.sparkContext.defaultParallelism)
+    )
 
     # per-run scratch dir for columnar round-state materializations — a
     # subdir of Spark's OWN managed local dir (local SSD / tmpfs), so the
