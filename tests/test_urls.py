@@ -110,3 +110,72 @@ def test_resolve_link_matches_urljoin(spark):
 def test_is_valid_http(spark, url, valid):
     df = spark.createDataFrame([(url,)], "url string")
     assert df.filter(U.is_valid_http(F.col("url"))).count() == (1 if valid else 0)
+
+
+def test_resolve_expr_matches_udf(spark):
+    """resolve_and_parse_expr's Catalyst fast path must agree with the
+    exact urllib UDF on every field for an adversarial href corpus —
+    any divergent case must be routed to the UDF by the guard, never
+    answered differently."""
+    bases = [
+        "http://h0.test/p/0",
+        "https://h3.test/a/b/",
+        "http://h1.test/private/5",
+    ]
+    hrefs = [
+        "http://c.test/d",
+        "https://c.test/d",
+        "HTTP://c.test/d",
+        "http://c.test/d/../e",
+        "http:///x",
+        "http://c.test/p?",
+        "http://c.test/p#",
+        "http://c.test/p#f?x",
+        "http://c.test//x",
+        "http://u:p@c.test:8080/x",
+        "http://c.test/a\tb",
+        "http://c.test/p;params",
+        "http://c.test/P/",
+        "http://C.TEST/Path///",
+        "http://c.test/p?q=1#Frag",
+        "http://c.test/p?q=1&r=2",
+        "http://c.test",
+        "http://c.test/",
+        "http://c.test/p ?q",
+        " http://c.test/spaced ",
+        "\thttp://c.test/tablead",
+        "http://c.test/trail\t",
+        "//proto.test/relative",
+        "/root/relative",
+        "relative/path",
+        "../up/one",
+        "#top",
+        "?only=query",
+        "mailto:x@y.z",
+        "javascript:void(0)",
+        "ftp://files.test/x",
+        "",
+        "http://c.test/éclair",
+        "http://c.test/end ",
+        "http://c.test/p%20q",
+        "http://c.test/p#",
+        "http://c.test/p##two",
+        "http://c.test/?",
+        "http://c.test/?#",
+    ]
+    rows = [(b, h) for b in bases for h in hrefs] + [(bases[0], None)]
+    df = spark.createDataFrame(rows, "base_url string, href string")
+    got = df.select(
+        "base_url", "href",
+        U.resolve_and_parse_expr(F.col("base_url"), F.col("href")).alias("e"),
+        U.resolve_and_parse_udf(F.col("base_url"), F.col("href")).alias("u"),
+    ).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        for field in ("scheme", "netloc", "canonical"):
+            assert (r["e"][field] == r["u"][field]) or (
+                r["e"][field] is None and r["u"][field] is None
+            ), (r["base_url"], r["href"], field, r["e"], r["u"])
+        # new_url must match whenever the fast path answered (non-null e)
+        if r["e"]["new_url"] is not None and r["u"]["new_url"] is not None:
+            assert r["e"]["new_url"] == r["u"]["new_url"], (r["href"], r["e"], r["u"])
